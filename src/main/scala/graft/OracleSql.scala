@@ -1,0 +1,186 @@
+package graft
+
+import graft.model.PipelineConfig
+import graft.sources.{Dims, Transcripts}
+
+/** DuckDB oracle SQL for each pipeline stage, layered as CTE fragments so
+  * every `SparkEntry.oracleSql` entry is `Transcripts.duckDbCte` + the
+  * fragments it needs + a final SELECT. Config constants (thresholds,
+  * caps, K) are injected from [[PipelineConfig.default]] and the dims from
+  * [[Dims]], so the oracle and the Spark plan share one source of truth.
+  */
+object OracleSql {
+
+  private val cfg = PipelineConfig.default
+  private val winMicros = cfg.normalSamplingFrequencyMinutes.toLong * 60L * 1000000L
+
+  /** parse stage columns (mirrors operators.Parse) */
+  val parsedCte: String =
+    """parsed AS (
+      |  SELECT *,
+      |    CASE WHEN turn_idx = 0 THEN 'root' WHEN role = 'user' THEN 'entry'
+      |         WHEN role = 'tool' THEN 'exit' ELSE 'internal' END AS span_class,
+      |    CAST(regexp_extract(text, 'status=([0-9]+)', 1) AS INT) AS status_code,
+      |    NULLIF(regexp_extract(text, '(https?://[^ ]+)', 1), '') AS url,
+      |    NULLIF(regexp_extract(text, 'call=([A-Za-z0-9_-]+)\.', 1), '') AS call_service,
+      |    NULLIF(regexp_extract(text, 'call=[A-Za-z0-9_-]+\.([A-Za-z0-9_]+)', 1), '') AS call_method,
+      |    CAST(regexp_extract(text, 'dur=([0-9]+)ms', 1) AS BIGINT) AS dur_ms
+      |  FROM transcripts
+      |),
+      |parsed2 AS (
+      |  SELECT *,
+      |    CAST(dur_ms AS DOUBLE) / 1000.0 AS latency_secs,
+      |    CASE WHEN span_class IN ('root','entry','exit') THEN
+      |      CASE WHEN status_code BETWEEN 400 AND 499 THEN 'client_errors'
+      |           WHEN status_code BETWEEN 500 AND 599 THEN 'server_errors' END
+      |    END AS error_type,
+      |    CASE WHEN span_class IN ('root','entry','exit') AND url IS NOT NULL
+      |         THEN regexp_replace(url, 'https?://.+?((/[^/?]+){1,2}).*', '\1')
+      |         ELSE tool END AS request_context,
+      |    CASE WHEN span_class = 'exit' THEN 'outbound'
+      |         WHEN span_class IN ('root','entry') THEN 'inbound'
+      |         ELSE 'internal' END AS request_type
+      |  FROM parsed
+      |)""".stripMargin
+
+  /** enrich stage: service dim join, entity key, threshold resolution,
+    * error/slow flags (mirrors operators.Enrich) */
+  val enrichedCte: String =
+    s"""svc AS (
+       |  SELECT p.*, p.tool AS service,
+       |    COALESCE(d.namespace, '') AS namespace,
+       |    COALESCE(d.env, 'dev') AS env,
+       |    COALESCE(d.site, 'us-west-2') AS site,
+       |    CASE WHEN COALESCE(d.namespace, '') <> '' THEN d.namespace || '#' || p.tool
+       |         ELSE p.tool END AS service_key,
+       |    '{env=' || COALESCE(d.env, 'dev') || ', namespace=' || COALESCE(d.namespace, '')
+       |      || ', site=' || COALESCE(d.site, 'us-west-2') || '}#Service#' || p.tool AS entity_key
+       |  FROM parsed2 p LEFT JOIN ${Dims.serviceValuesSql} d ON p.tool = d.service
+       |),
+       |enr AS (
+       |  SELECT s.*,
+       |    COALESCE(te.upper_threshold, td.upper_threshold, ${cfg.defaultLatencyThresholdSecs}) AS threshold,
+       |    (s.error_type IS NOT NULL) AS is_error,
+       |    (s.error_type IS NOT NULL AND NOT (${cfg.ignoreClientErrors} AND s.error_type = 'client_errors')) AS error_routable,
+       |    (s.latency_secs > COALESCE(te.upper_threshold, td.upper_threshold, ${cfg.defaultLatencyThresholdSecs})) AS is_slow_span
+       |  FROM svc s
+       |  LEFT JOIN ${Dims.thresholdValuesSql} te
+       |    ON s.entity_key = te.entity_key AND s.request_context = te.request_context AND te.request_context <> ''
+       |  LEFT JOIN ${Dims.thresholdValuesSql} td
+       |    ON s.entity_key = td.entity_key AND td.request_context = ''
+       |)""".stripMargin
+
+  /** route stage conv-level table (mirrors operators.Route.convRouting) */
+  val routingCte: String =
+    s"""seg AS (
+       |  SELECT *,
+       |    CASE span_class WHEN 'root' THEN 0 WHEN 'entry' THEN 1 WHEN 'exit' THEN 2 ELSE 3 END AS class_rank,
+       |    min(turn_idx) OVER (PARTITION BY conv_id, service) AS seg_first_idx
+       |  FROM enr
+       |),
+       |seg2 AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY conv_id, service ORDER BY class_rank, turn_idx) AS seg_rn,
+       |    max(CASE WHEN class_rank < 3 THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id, service) AS seg_has_main_i
+       |  FROM seg
+       |),
+       |seg3 AS (
+       |  SELECT *,
+       |    max(CASE WHEN seg_rn = 1 AND class_rank < 3 THEN latency_secs END) OVER (PARTITION BY conv_id, service) AS seg_latency,
+       |    max(CASE WHEN seg_rn = 1 AND class_rank < 3 THEN request_context END) OVER (PARTITION BY conv_id, service) AS seg_request,
+       |    max(CASE WHEN seg_rn = 1 AND class_rank < 3 THEN ts END) OVER (PARTITION BY conv_id, service) AS seg_main_ts
+       |  FROM seg2
+       |),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN seg_has_main_i = 1 AND class_rank < 3 THEN
+       |      CASE WHEN error_routable THEN 'error' WHEN is_slow_span THEN 'slow' END
+       |    END AS span_flag
+       |  FROM seg3
+       |),
+       |flag_pick AS (
+       |  SELECT conv_id, span_flag AS flag_type, entity_key, seg_request, seg_latency, seg_main_ts,
+       |         env, site, namespace, service,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY seg_first_idx, class_rank, turn_idx) AS rn
+       |  FROM flagged WHERE span_flag IS NOT NULL
+       |),
+       |seg_pick AS (
+       |  SELECT conv_id, entity_key, seg_request, seg_latency, seg_main_ts,
+       |         env, site, namespace, service,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY seg_first_idx, class_rank, turn_idx) AS rn
+       |  FROM flagged WHERE seg_has_main_i = 1 AND class_rank < 3
+       |),
+       |convs AS (
+       |  SELECT g.conv_id, g.conv_start_ts, g.n_turns,
+       |    f.flag_type,
+       |    COALESCE(f.entity_key, s.entity_key) AS entity_key,
+       |    COALESCE(f.seg_request, s.seg_request) AS request_context,
+       |    COALESCE(f.seg_latency, s.seg_latency) AS latency,
+       |    COALESCE(f.seg_main_ts, s.seg_main_ts) AS main_ts,
+       |    COALESCE(f.env, s.env) AS env, COALESCE(f.site, s.site) AS site,
+       |    COALESCE(f.namespace, s.namespace) AS namespace,
+       |    COALESCE(f.service, s.service) AS service
+       |  FROM (SELECT conv_id, min(ts) AS conv_start_ts, CAST(count(*) AS BIGINT) AS n_turns
+       |        FROM flagged GROUP BY conv_id) g
+       |  LEFT JOIN (SELECT * FROM flag_pick WHERE rn = 1) f ON g.conv_id = f.conv_id
+       |  LEFT JOIN (SELECT * FROM seg_pick WHERE rn = 1) s ON g.conv_id = s.conv_id
+       |  WHERE f.conv_id IS NOT NULL OR s.conv_id IS NOT NULL
+       |),
+       |capped AS (
+       |  SELECT *,
+       |    dense_rank() OVER (PARTITION BY entity_key ORDER BY request_first_ts, request_context) AS request_rank
+       |  FROM (SELECT *, min(main_ts) OVER (PARTITION BY entity_key, request_context) AS request_first_ts FROM convs) c0
+       |),
+       |sampled AS (
+       |  SELECT *,
+       |    (request_rank > ${cfg.limitPerService}) AS request_capped,
+       |    CASE WHEN flag_type IS NULL AND request_rank <= ${cfg.limitPerService}
+       |         THEN epoch_us(main_ts) // $winMicros END AS sample_win
+       |  FROM capped
+       |),
+       |sampled2 AS (
+       |  SELECT *,
+       |    CASE WHEN sample_win IS NOT NULL THEN
+       |      row_number() OVER (PARTITION BY entity_key, request_context, sample_win ORDER BY main_ts, conv_id)
+       |    END AS normal_rn
+       |  FROM sampled
+       |),
+       |sampled3 AS (
+       |  SELECT *,
+       |    CASE WHEN request_capped THEN NULL
+       |         WHEN flag_type IS NOT NULL THEN flag_type
+       |         WHEN normal_rn = 1 THEN 'normal' END AS sample_type
+       |  FROM sampled2
+       |),
+       |queued AS (
+       |  SELECT *,
+       |    CASE WHEN sample_type = 'error' THEN 'error'
+       |         WHEN sample_type IN ('slow','normal') THEN 'slow' END AS queue_class
+       |  FROM sampled3
+       |),
+       |topk AS (
+       |  SELECT *,
+       |    CASE WHEN queue_class IS NOT NULL THEN
+       |      row_number() OVER (PARTITION BY entity_key, request_context, queue_class ORDER BY latency DESC, conv_id)
+       |    END AS queue_rn
+       |  FROM queued
+       |),
+       |routing AS (
+       |  SELECT *,
+       |    (queue_rn IS NOT NULL AND queue_rn <= ${cfg.topKPerRequest}) AS kept,
+       |    CASE WHEN queue_rn IS NOT NULL AND queue_rn <= ${cfg.topKPerRequest} THEN
+       |      CASE WHEN sample_type = 'error' THEN 'errors'
+       |           WHEN sample_type = 'slow' THEN 'slow' ELSE 'normal' END
+       |    END AS sink
+       |  FROM topk
+       |)""".stripMargin
+
+  /** Assemble an oracle query: transcripts CTE + the given fragments +
+    * final SELECT body. */
+  def query(body: String, fragments: String*): String =
+    (Transcripts.duckDbCte +: fragments).mkString(",\n") + "\n" + body
+
+  def parsedQuery(body: String): String = query(body, parsedCte)
+  def enrichedQuery(body: String): String = query(body, parsedCte, enrichedCte)
+  def routingQuery(body: String): String = query(body, parsedCte, enrichedCte, routingCte)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.PipelineConfig
+
+/** Aggregate stage: the metric tables the reference exposes as Prometheus
+  * vectors, re-expressed as groupBy aggregations written to metric sink
+  * tables (reference: assertsprocessor/metrics.go:11-22, 138-184,
+  * metric_helper.go:64-68).
+  *
+  * All aggregations are partial-aggregable (map-side combine) and keyed by
+  * low-cardinality label tuples — one shuffle each, no windows.
+  */
+object Aggregates {
+
+  /** `asserts_trace_count_total{env, site}` — one increment per
+    * conversation (metrics.go:138-141). Input: conv-level routing. */
+  def traceCounts(routing: DataFrame): DataFrame =
+    routing
+      .groupBy("env", "site")
+      .agg(count(lit(1)).as("trace_count"))
+
+  /** `asserts_trace_sampled_count_total{env, site, sample_type}`
+    * (metrics.go:143-146) — counted over retained (flushed) convs. */
+  def sampledTraceCounts(routing: DataFrame): DataFrame =
+    routing
+      .filter(col("kept"))
+      .groupBy("env", "site", "sample_type")
+      .agg(count(lit(1)).as("sampled_count"))
+
+  /** `asserts_span_count_total{env, site, namespace, service}`
+    * (metrics.go:148-166) — per-span counters over non-internal spans
+    * (the pipeline enriches/measures only non-internal spans,
+    * trace.go:22-35, processor.go:62). */
+  def spanCounts(enriched: DataFrame): DataFrame =
+    enriched
+      .filter(col("span_class") =!= "internal")
+      .groupBy("env", "site", "namespace", "service")
+      .agg(count(lit(1)).as("span_count"))
+
+  /** RED rollup (request / error / duration) per tumbling window and
+    * (service, request context) — the `otel_span_latency_seconds`
+    * histogram's sum/count plus error counts, keyed per BASELINE by the
+    * time window and tool/service dimensions.
+    */
+  def redRollup(enriched: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val winMicros = windowMinutes.toLong * 60L * 1000000L
+    enriched
+      .filter(col("span_class") =!= "internal")
+      .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
+      .groupBy("win_start_us", "service", "request_context")
+      .agg(
+        count(lit(1)).as("requests"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("errors"),
+        // sum exact integer millis, divide once: order-independent, so the
+        // result is bit-identical across engines/partitionings
+        (sum(col("dur_ms")).cast("double") / 1000.0).as("duration_sum_secs"),
+        max(col("latency_secs")).as("duration_max_secs")
+      )
+  }
+
+  /** Latency histogram: per (service, le-bucket) span counts with the
+    * reference's default bucket bounds (factory.go:38). Emitted in the
+    * Prometheus cumulative-bucket form via a second small rollup.
+    * `width_bucket`-style CASE chain keeps it codegen-friendly.
+    */
+  def latencyHistogram(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default
+  ): DataFrame = {
+    val buckets = cfg.histogramBuckets
+    // smallest bucket whose upper bound >= latency; +Inf when above all
+    val leExpr = buckets.reverse.foldLeft(lit(Double.PositiveInfinity)) {
+      case (acc, bound) => when(col("latency_secs") <= bound, lit(bound)).otherwise(acc)
+    }
+    val raw = enriched
+      .filter(col("span_class") =!= "internal")
+      .withColumn("le", leExpr)
+      .groupBy("service", "le")
+      .agg(count(lit(1)).as("bucket_count"))
+    // cumulative counts per service ordered by bucket bound
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window
+      .partitionBy("service")
+      .orderBy("le")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    raw.withColumn("cumulative_count", sum("bucket_count").over(cumW))
+  }
+}

@@ -74,17 +74,9 @@ object Parse {
 
   /** Full parse stage over the raw transcript columns. */
   def parsed(turns: DataFrame, rules: Rules.RuleTable = defaultRules): DataFrame = {
+    // expects service / namespace / service_key already attached (see
+    // Enrich.withServiceDim — the resource-attribute analogue)
     val classified = withSpanClass(turns)
-      .withColumn("service", col("tool"))
-      .withColumn("namespace", lit("platform"))
-      .withColumn(
-        "service_key",
-        // getServiceKey: ns#svc when ns non-empty, else svc (utils.go:9-15)
-        when(
-          col("namespace").isNotNull && col("namespace") =!= "",
-          concat(col("namespace"), lit("#"), col("service"))
-        ).otherwise(col("service"))
-      )
       .withColumn("url", nullif(regexp_extract(col("text"), "(https?://[^ ]+)", 1), lit("")))
       .withColumn("status_code", regexp_extract(col("text"), "status=([0-9]+)", 1).cast("int"))
       .withColumn("status_str", nullif(regexp_extract(col("text"), "status=([0-9]+)", 1), lit("")))

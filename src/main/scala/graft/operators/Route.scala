@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.PipelineConfig
+
+/** Route stage: per-conversation error/slow/normal classification, request
+  * cardinality caps, and top-K retention — the Spark re-expression of the
+  * reference's sampler (reference: assertsprocessor/sampler.go:56-182,
+  * service_queue.go:39-75, priority_queue.go:38-96).
+  *
+  * Semantics preserved (made deterministic via total order
+  * (segment first-turn, class rank, turn_idx) — the reference depends on
+  * arrival order):
+  *   - a segment = the turns of one conversation for one service
+  *     (utils.go:69-77); its main span is the first of root > entries >
+  *     exits (trace.go:37-44); segments without a main span are skipped;
+  *   - per non-internal span in order: an error span (minus ignorable
+  *     client errors) routes the WHOLE conversation as `error`, else a
+  *     slow span routes it as `slow`; first match wins and the routed
+  *     (entity, request, latency) come from that span's segment
+  *     (sampler.go:56-117);
+  *   - conversations matching neither are normal-sampled: one per
+  *     (entity, request) per sampling window, keyed by the first segment
+  *     with a main span (sampler.go:119-182, periodic_sampler.go:13-31);
+  *   - at most `limitPerService` distinct request contexts per entity
+  *     (first-seen order); conversations routed to requests beyond the
+  *     cap are dropped (service_queue.go:39-75);
+  *   - per (entity, request): the error queue and the slow queue (slow +
+  *     normal samples share it, sampler.go:171) each retain the top-K
+  *     highest-latency conversations (priority_queue.go:38-96).
+  *
+  * Scale notes: segment windows shuffle on (conv_id, service) and the
+  * conversation fold is a groupBy(conv_id) partial-aggregable min-of-struct
+  * — both scale linearly and AQE handles skewed conversations; the
+  * post-fold windows (sampling, cap, top-K) run on the conversation-level
+  * relation, which is |convs| rows, orders of magnitude smaller than the
+  * input. Top-K uses row_number <= K, which Spark rewrites to
+  * WindowGroupLimit (no full sort per partition).
+  */
+object Route {
+
+  /** Segment-level (conv_id, service) derived columns. */
+  def withSegmentInfo(enriched: DataFrame): DataFrame = {
+    val segW = Window.partitionBy("conv_id", "service")
+    val segOrdered = segW.orderBy("class_rank", "turn_idx")
+    enriched
+      .withColumn(
+        "class_rank",
+        when(col("span_class") === "root", 0)
+          .when(col("span_class") === "entry", 1)
+          .when(col("span_class") === "exit", 2)
+          .otherwise(3)
+      )
+      .withColumn("seg_first_idx", min("turn_idx").over(segW))
+      .withColumn(
+        "is_main",
+        row_number().over(segOrdered) === 1 && col("class_rank") < 3
+      )
+      .withColumn("seg_has_main", max(when(col("class_rank") < 3, 1).otherwise(0)).over(segW) === 1)
+      .withColumn("seg_latency", max(when(col("is_main"), col("latency_secs"))).over(segW))
+      .withColumn("seg_request", max(when(col("is_main"), col("request_context"))).over(segW))
+      .withColumn("seg_main_ts", max(when(col("is_main"), col("ts"))).over(segW))
+  }
+
+  /** Per-span routing flag (error precedence, then slow), only for
+    * non-internal spans of segments that have a main span. */
+  def withSpanFlag(segmented: DataFrame): DataFrame =
+    segmented.withColumn(
+      "span_flag",
+      when(
+        col("seg_has_main") && col("class_rank") < 3,
+        when(col("error_routable"), "error")
+          .when(col("is_slow_span"), "slow")
+      )
+    )
+
+  /** Collapse to one row per conversation: the first flagged span decides
+    * (sample_type, routed entity/request/latency); otherwise the first
+    * segment with a main span is the normal-sampling candidate.
+    * A single hash aggregation (partial-aggregable min-of-struct).
+    */
+  def convFold(flagged: DataFrame): DataFrame = {
+    val spanOrder = Seq(col("seg_first_idx"), col("class_rank"), col("turn_idx"))
+    val routeStruct = struct(
+      spanOrder ++ Seq(
+        col("span_flag").as("flag"),
+        col("entity_key"),
+        col("seg_request"),
+        col("seg_latency"),
+        col("seg_main_ts"),
+        col("env"), col("site"), col("namespace"), col("service")
+      ): _*
+    )
+    flagged
+      .groupBy("conv_id")
+      .agg(
+        min(when(col("span_flag").isNotNull, routeStruct)).as("first_flag"),
+        min(when(col("seg_has_main") && col("class_rank") < 3, routeStruct)).as("first_seg"),
+        min("ts").as("conv_start_ts"),
+        count(lit(1)).as("n_turns")
+      )
+  }
+
+  /** Full conversation-level routing: flags -> cardinality cap -> normal
+    * sampling -> top-K retention. Returns one row per conversation with
+    * `sample_type` (error/slow/normal/null), `sink`
+    * (errors/slow/normal/null) and the routed key columns.
+    */
+  def convRouting(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val conv = convFold(withSpanFlag(withSegmentInfo(enriched)))
+      .withColumn("picked", coalesce(col("first_flag"), col("first_seg")))
+      .filter(col("picked").isNotNull) // conversations with no main span anywhere are skipped
+      .select(
+        col("conv_id"),
+        col("conv_start_ts"),
+        col("n_turns"),
+        col("first_flag").getField("flag").as("flag_type"),
+        col("picked").getField("entity_key").as("entity_key"),
+        col("picked").getField("seg_request").as("request_context"),
+        col("picked").getField("seg_latency").as("latency"),
+        col("picked").getField("seg_main_ts").as("main_ts"),
+        col("picked").getField("env").as("env"),
+        col("picked").getField("site").as("site"),
+        col("picked").getField("namespace").as("namespace"),
+        col("picked").getField("service").as("service")
+      )
+
+    // Request-cardinality cap: rank distinct request contexts per entity by
+    // first-seen (min main_ts, then request for determinism); requests
+    // ranked beyond the cap drop their conversations.
+    val firstSeenW = Window.partitionBy("entity_key", "request_context")
+    val rankW = Window
+      .partitionBy("entity_key")
+      .orderBy(col("request_first_ts"), col("request_context"))
+    val capped = conv
+      .withColumn("request_first_ts", min("main_ts").over(firstSeenW))
+      .withColumn("request_rank", dense_rank().over(rankW))
+      .withColumn("request_capped", col("request_rank") > cfg.limitPerService)
+
+    // Normal sampling: among unflagged, uncapped conversations, the first
+    // (by main ts, conv_id) per (entity, request, tumbling window).
+    val winMicros = cfg.normalSamplingFrequencyMinutes.toLong * 60L * 1000000L
+    val sampleW = Window
+      .partitionBy(col("entity_key"), col("request_context"), col("sample_win"))
+      .orderBy(col("main_ts"), col("conv_id"))
+    val sampled = capped
+      .withColumn(
+        "sample_win",
+        when(
+          col("flag_type").isNull && !col("request_capped"),
+          expr(s"unix_micros(cast(main_ts as timestamp)) div $winMicros")
+        )
+      )
+      .withColumn(
+        "normal_rn",
+        when(col("sample_win").isNotNull, row_number().over(sampleW))
+      )
+      .withColumn(
+        "sample_type",
+        when(col("request_capped"), lit(null).cast("string"))
+          .when(col("flag_type").isNotNull, col("flag_type"))
+          .when(col("normal_rn") === 1, "normal")
+      )
+
+    // Top-K retention: error queue, and the shared slow queue (slow +
+    // normal), each per (entity, request), keep K highest-latency.
+    val queueW = Window
+      .partitionBy(col("entity_key"), col("request_context"), col("queue_class"))
+      .orderBy(col("latency").desc, col("conv_id"))
+    sampled
+      .withColumn(
+        "queue_class",
+        when(col("sample_type") === "error", "error")
+          .when(col("sample_type").isin("slow", "normal"), "slow")
+      )
+      .withColumn(
+        "queue_rn",
+        when(col("queue_class").isNotNull, row_number().over(queueW))
+      )
+      .withColumn("kept", col("queue_rn").isNotNull && col("queue_rn") <= cfg.topKPerRequest)
+      .withColumn(
+        "sink",
+        when(
+          col("kept"),
+          when(col("sample_type") === "error", "errors")
+            .when(col("sample_type") === "slow", "slow")
+            .otherwise("normal")
+        )
+      )
+      .drop("sample_win", "normal_rn", "request_first_ts")
+  }
+
+  /** Span-level sink rows: every turn of each retained conversation, tagged
+    * with its sink, in stable (conv_id, turn_idx) order — the flush/
+    * re-serialization step (utils.go:109-126; per-turn text equality
+    * invariant lives here). The routing side is |kept convs| rows and
+    * shuffles on conv_id to meet the turns.
+    */
+  def routedTurns(turns: DataFrame, routing: DataFrame): DataFrame =
+    turns.join(
+      routing
+        .filter(col("kept"))
+        .select("conv_id", "sink", "sample_type", "entity_key", "request_context", "latency"),
+      Seq("conv_id")
+    )
+}
