@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.PipelineConfig
+import graft.operators.{Aggregates, Enrich, Route}
+
+/** Counter/histogram semantics (reference: metrics.go:138-184,
+  * metric_helper.go:64-68) + whole-pipeline count invariants.
+  */
+class AggregatesSpec extends SparkTestBase {
+
+  private val cfg = PipelineConfig(defaultLatencyThresholdSecs = 0.5)
+
+  private lazy val enriched =
+    Enrich.enriched(
+      graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001"),
+      spark, cfg).cache()
+  private lazy val routing = Route.convRouting(enriched, cfg).cache()
+
+  test("trace count equals distinct conversations") {
+    val total = Aggregates.traceCounts(routing)
+      .agg(sum("trace_count")).collect().head.getLong(0)
+    assert(total == enriched.select("conv_id").distinct().count())
+  }
+
+  test("sampled counts partition the kept conversations by sample type") {
+    val sampled = Aggregates.sampledTraceCounts(routing)
+      .agg(sum("sampled_count")).collect().head.getLong(0)
+    assert(sampled == routing.filter(col("kept")).count())
+  }
+
+  test("span counts cover exactly the non-internal spans") {
+    val total = Aggregates.spanCounts(enriched)
+      .agg(sum("span_count")).collect().head.getLong(0)
+    assert(total == enriched.filter(col("span_class") =!= "internal").count())
+  }
+
+  test("RED rollup: requests/errors/duration per window and service") {
+    val red = Aggregates.redRollup(enriched).cache()
+    val reqTotal = red.agg(sum("requests")).collect().head.getLong(0)
+    assert(reqTotal == enriched.filter(col("span_class") =!= "internal").count())
+    val errTotal = red.agg(sum("errors")).collect().head.getLong(0)
+    assert(errTotal == enriched
+      .filter(col("span_class") =!= "internal" && col("is_error")).count())
+    red.unpersist()
+  }
+
+  test("histogram cumulative counts are monotone and end at the span total") {
+    val hist = Aggregates.latencyHistogram(enriched, cfg).cache()
+    val perService = hist.groupBy("service")
+      .agg(max("cumulative_count").as("total"), sum("bucket_count").as("s"))
+      .collect()
+    perService.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val grand = hist.agg(sum("bucket_count")).collect().head.getLong(0)
+    assert(grand == enriched.filter(col("span_class") =!= "internal").count())
+    hist.unpersist()
+  }
+
+  test("histogram buckets: latency lands in the smallest bucket >= value") {
+    val t = turnsDf(Seq(
+      turn("c1", 0, "user", "api-server", 5), // 0.005 -> le 0.005
+      turn("c2", 0, "user", "api-server", 6), // 0.006 -> le 0.01
+      turn("c3", 0, "user", "api-server", 200000) // 200s -> +Inf
+    ))
+    val hist = Aggregates.latencyHistogram(Enrich.enriched(t, spark, cfg), cfg)
+      .select("le", "bucket_count").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(hist(0.005) == 1)
+    assert(hist(0.01) == 1)
+    assert(hist(Double.PositiveInfinity) == 1)
+  }
+}
