@@ -183,4 +183,55 @@ object OracleSql {
   def parsedQuery(body: String): String = query(body, parsedCte)
   def enrichedQuery(body: String): String = query(body, parsedCte, enrichedCte)
   def routingQuery(body: String): String = query(body, parsedCte, enrichedCte, routingCte)
+
+  // ---- documents / embeddings oracle fragments (training-data ops) ----
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** tokens + distinct word-3-gram shingles over `documents` (mirrors
+    * TextAnalysis.tokens / Dedup.shingles) */
+  val docShinglesCte: String =
+    """WITH toks AS (
+      |  SELECT *, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  /** MinHash signature components (mirrors Dedup.minhashSignature) */
+  val docMinhashCte: String = {
+    val comps = (0 until graft.operators.Dedup.NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s)))")
+      .mkString("[", ", ", "]")
+    val bands = (0 until graft.operators.Dedup.NumBands)
+      .map { b =>
+        val key = (0 until graft.operators.Dedup.BandSize)
+          .map(r => s"sig[${b * graft.operators.Dedup.BandSize + r + 1}]")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, sig, $b AS band_idx, $key AS band_key FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $comps AS sig FROM sh),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  /** quantized embeddings (mirrors Similarity.quantize) */
+  val embQuantCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  val stopwordList: String = sqlList(graft.operators.TextAnalysis.stopwordsEn)
+
+  def langScoreExprs: Seq[(String, String)] =
+    graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> s"len(list_filter(toks, x -> list_contains(${sqlList(words)}, x)))"
+    }
 }

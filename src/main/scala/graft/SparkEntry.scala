@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.PipelineConfig
-import graft.operators.{Aggregates, Enrich, Parse, Route}
+import graft.operators.{Aggregates, Dedup, Enrich, Parse, Route, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,8 +91,48 @@ object SparkEntry {
     "q10_histogram" -> ((s, dir) =>
       Aggregates
         .latencyHistogram(enriched(s, dir), cfg)
-        .orderBy("service", "le"))
+        .orderBy("service", "le")),
+
+    // ---- training-data pipeline operators (documents / embeddings) ----
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("doc_id")),
+    "q21_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "q22_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "q23_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir)).orderBy("doc_id")),
+    "q24_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
+    "q25_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), w = 3, minJaccard = 0.05)
+        .orderBy("doc_a", "doc_b")),
+    "q26_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), w = 3, minEstimate = 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // ANN: exact brute-force cosine top-k (oracle-checked)
+    "q30_ann_topk" -> ((s, dir) => {
+      val emb = embs(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+    // ANN: LSH-bucketed approximate variant (rows-only check; recall
+    // asserted vs brute force in SimilaritySpec)
+    "q31_ann_lsh" -> ((s, dir) => {
+      val emb = embs(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+    "q32_cosine_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b"))
   )
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -158,6 +198,107 @@ object SparkEntry {
          |  SELECT service, $leCase AS le, CAST(count(*) AS BIGINT) AS bucket_count
          |  FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2
          |) ORDER BY service, le""".stripMargin
-    }
+    },
+
+    // ---- training-data pipeline oracles ----
+    "q20_dedup_exact" ->
+      """SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+        |  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+        |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "q21_token_stats" ->
+      """SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        |  CAST(greatest(len(toks), len(text) // 4) AS INT) AS n_tokens_bpe_est
+        |FROM (SELECT *, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "q22_quality" ->
+      s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> list_contains(${OracleSql.stopwordList}, x))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |  (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE))
+         |    / CAST(len(text) AS DOUBLE) AS punct_ratio,
+         |  (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE))
+         |    / CAST(len(text) AS DOUBLE) AS digit_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_token_ratio,
+         |  (len(toks) >= 10
+         |    AND CAST(len(list_filter(toks, x -> list_contains(${OracleSql.stopwordList}, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.01
+         |    AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+         |    AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+         |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1) AS passes_quality
+         |FROM (SELECT *, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "q23_langid" -> {
+      val scores = OracleSql.langScoreExprs
+      val scoreCols = scores.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n  ")
+      val maxExpr = scores.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val caseChain = scores
+        .map { case (l, _) => s"WHEN score_$l = $maxExpr THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""SELECT doc_id, lang_meta,
+         |  CASE WHEN $maxExpr = 0 THEN 'und' ELSE $caseChain END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang AS lang_meta, $scoreCols
+         |  FROM (SELECT *, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |        FROM documents)
+         |) ORDER BY doc_id""".stripMargin
+    },
+    "q24_fingerprints" ->
+      """SELECT doc_id, fingerprint, substr(fingerprint, 1, 8) AS fingerprint_short
+        |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "q25_jaccard_pairs" ->
+      (OracleSql.docShinglesCte + """,
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_sh FROM sh)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q26_minhash_pairs" -> {
+      val est = (1 to Dedup.NumHashes)
+        .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") / ${Dedup.NumHashes}.0")
+      OracleSql.docShinglesCte + s""",
+        |${OracleSql.docMinhashCte},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, $est AS est_jaccard
+        |FROM cand WHERE $est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q30_ann_topk" ->
+      (OracleSql.embQuantCte + """,
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    list_dot_product(q.v, e.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)) AS cosine
+        |  FROM e JOIN q ON q.vec_id <> e.vec_id
+        |),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |           FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    "q32_cosine_pairs" ->
+      (OracleSql.embQuantCte + """
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

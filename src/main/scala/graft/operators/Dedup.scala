@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, and MinHash+LSH near-dup detection over `documents`.
+  *
+  * Scale design:
+  *   - exact dedup is one hash-aggregate on a fingerprint (map-side
+  *     partial, no data explosion);
+  *   - MinHash signatures are computed per-row (projection only); the LSH
+  *     band join shuffles on (band_idx, band_key) — tiny keys instead of
+  *     full signatures — and candidate verification happens only within
+  *     buckets, so the quadratic blow-up is bounded per bucket;
+  *   - all hashes are md5-hex based so the DuckDB oracle reproduces every
+  *     stage exactly (lexicographic MIN over hex strings is a valid
+  *     uniform min-hash; slower than xxhash64 but portable — swap the
+  *     `hashFn` for `xxhash64` when oracle parity is not required).
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text fingerprint; the lowest doc_id
+    * is the canonical survivor. */
+  def exact(docs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    docs
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("canonical_doc_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
+  }
+
+  /** Word w-shingles (w-grams joined by single spaces), distinct. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(
+        size(toks) >= w,
+        transform(
+          sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)
+        )
+      ).otherwise(array(concat_ws(" ", toks)))
+    )
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs that share at
+    * least one shingle. The inverted-index join (explode -> self-join on
+    * shingle) bounds the pair space to docs with overlap; at scale the
+    * hot shingles (stop-phrase grams) should be frequency-capped first.
+    */
+  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double")
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Number of MinHash permutations and LSH band layout. */
+  val NumHashes = 12
+  val BandSize = 3
+  val NumBands: Int = NumHashes / BandSize
+
+  /** MinHash signature: component i = MIN over shingles of
+    * md5(i ':' shingle) (lexicographic over hex = uniform min-hash). */
+  def minhashSignature(text: Column, w: Int = 3): Column = {
+    val sh = shingles(text, w)
+    array(
+      (0 until NumHashes).map(i =>
+        array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+      ): _*
+    )
+  }
+
+  /** Per-doc LSH bands: (band_idx, band_key) where band_key concatenates
+    * the band's minhash components. */
+  def minhashBands(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), minhashSignature(col("text"), w).as("sig"))
+      .select(
+        col("doc_id"), col("sig"),
+        explode(
+          array((0 until NumBands).map { b =>
+            struct(
+              lit(b).as("band_idx"),
+              concat_ws("|", (0 until BandSize).map(r => element_at(col("sig"), b * BandSize + r + 1)): _*).as("band_key")
+            )
+          }: _*)
+        ).as("band")
+      )
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
+
+  /** MinHash-LSH near-dup candidate pairs with estimated Jaccard =
+    * fraction of equal signature components. Pairs sharing >=1 band
+    * bucket; estimate >= minEstimate.
+    */
+  def minhashLshPairs(docs: DataFrame, w: Int = 3, minEstimate: Double = 0.5): DataFrame = {
+    val bands = minhashBands(docs, w)
+    val cand = bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b")
+      )
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn(
+        "est_jaccard",
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq
+        )).cast("double") / lit(NumHashes.toDouble)
+      )
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over a
+  * `documents(doc_id, text, lang, source, n_chars)` table: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * All pure Catalyst expressions (codegen'd, no UDFs): at 100 TB these run
+  * as a single projection over the scan with full column pruning — no
+  * shuffle at all until an aggregation keyed on their outputs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (robust to leading/trailing/
+    * repeated whitespace; identical semantics in the DuckDB oracle). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token statistics: counts + length aggregates per document. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      // BPE-ish subword estimate: ~1 token per 4 chars, word-boundary capped
+      greatest(size(toks), floor(length(col("text")) / lit(4)).cast("int")).as("n_tokens_bpe_est")
+    )
+  }
+
+  /** Common-English stopwords used by the quality heuristics. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at", "by")
+
+  /** Quality scoring: length, punctuation/digit/space ratios, stopword
+    * ratio, repetition — the usual pre-training quality gates (C4/Gopher
+    * style rules), deterministic arithmetic only.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (nChars - length(regexp_replace(col("text"), "[.,;:!?'\"]", ""))).cast("double")
+    val nDigit = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (nStop / nToks).as("stopword_ratio"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nDigit / nChars).as("digit_ratio"),
+      distinctRatio.as("distinct_token_ratio"),
+      // gates: enough tokens, some stopwords, not digit/punct soup, not repetitive
+      (size(toks) >= 10 && nStop / nToks > 0.01 &&
+        nPunct / nChars < 0.2 && nDigit / nChars < 0.2 &&
+        distinctRatio > 0.1).as("passes_quality")
+    )
+  }
+
+  /** Tiny per-language marker wordlists for the n-gram/stopword language-ID
+    * heuristic. Real deployments plug in fastText-style models via the same
+    * column contract.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur")
+  )
+
+  /** Language ID: argmax of marker-word hit counts, deterministic tie-break
+    * by language code; "und" (undetermined) when nothing matches.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val withScores = scored.foldLeft(docs.select(col("doc_id"), col("lang").as("lang_meta"), col("text"))) {
+      case (df, (lang, cnt)) => df.withColumn(s"score_$lang", cnt)
+    }
+    withScores
+      .withColumn(
+        "lang_pred",
+        when(
+          greatest(scored.map(s => col(s"score_${s._1}")): _*) === 0,
+          "und"
+        ).otherwise(pickArgmax(scored.map(_._1)))
+      )
+      .select("doc_id", "lang_meta", "lang_pred")
+  }
+
+  /** Deterministic argmax over score_<lang> columns: highest score wins,
+    * first language in (alphabetical) order wins ties. */
+  private def pickArgmax(langs: Seq[String]): Column = {
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    langs.foldRight(lit(null).cast("string")) { (lang, acc) =>
+      when(col(s"score_$lang") === maxScore, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized lowercase text —
+    * the canonical key for exact dedup and incremental re-ingest. md5 so
+    * the DuckDB oracle reproduces it byte-for-byte.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fingerprint"),
+      substring(fingerprint(col("text")), 1, 8).as("fingerprint_short")
+    )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data operators over documents / embeddings. */
+class DocOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  private def docDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+
+  test("exact dedup: identical normalized text collapses to the lowest doc_id") {
+    val d = docDf(
+      (1L, "the quick brown fox"),
+      (2L, "the  quick   brown fox"), // whitespace-normalized duplicate
+      (3L, "something else")
+    )
+    val r = Dedup.exact(d).collect().map(x =>
+      x.getAs[Long]("doc_id") -> (x.getAs[Long]("canonical_doc_id"), x.getAs[Boolean]("is_duplicate"))).toMap
+    assert(r(1L) == (1L, false))
+    assert(r(2L) == (1L, true))
+    assert(r(3L) == (3L, false))
+  }
+
+  test("shingles: w-grams of tokens; short docs fall back to whole text") {
+    val d = docDf((1L, "a b c d"), (2L, "a b"))
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("ngram jaccard: near-identical docs score near 1, disjoint docs absent") {
+    val d = docDf(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"), // differs in last token
+      (3L, "x1 x2 x3 x4 x5")
+    )
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.05).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    // 7 common of (8+8-7)=9 union
+    assert(math.abs(p.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("minhash LSH finds the planted near-duplicates found by exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
+  }
+
+  test("minhash estimate approximates exact jaccard on high-sim pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).as[(Long, Long, Double)].collect().toMap2
+    val est = Dedup.minhashLshPairs(docs, 3, 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard")).as[(Long, Long, Double)].collect().toMap2
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach(e => assert(math.abs(e - j) < 0.45))
+    }
+  }
+
+  implicit class Tuples3[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("token stats and quality gates") {
+    val d = docDf(
+      (1L, "the cat sat on the mat and it was good for all of us"), // clean
+      (2L, "1 2 3 4 5 6 7 8 9 10 11 12") // digit soup
+    )
+    val q = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes_quality")).toMap
+    assert(q(1L))
+    assert(!q(2L))
+  }
+
+  test("language id picks the language with most marker hits") {
+    val d = docDf(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de la calle que es"),
+      (3L, "zzz qqq xxx")
+    ).withColumn("lang", lit("meta"))
+    val got = TextAnalysis.languageId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("brute-force ANN: self excluded, ranks ordered by cosine desc") {
+    val top = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), 5).cache()
+    val rows = top.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getAs[Long]("q_id") == r.getAs[Long]("n_id")))
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    top.unpersist()
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, queries, 5, nPlanes = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 4 planes -> 16 buckets over 500 vecs; nearest neighbors mostly share
+    // the query's bucket. This pins the plumbing, not state-of-the-art recall.
+    assert(recall >= 0.3, s"LSH recall $recall unexpectedly low")
+    assert(approx.nonEmpty)
+  }
+}
