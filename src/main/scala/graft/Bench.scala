@@ -1,24 +1,76 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.PipelineConfig
+import graft.sources.{TranscriptGen, Transcripts}
+
+/** Driver-run benchmark: one JSON line with per-query seconds over
+  * SPARK_GRAFT_SF_DIR, plus full-pipeline throughput entries — the
+  * sf-derived table and a generator-scaled table (the sf parquet tops out
+  * at ~10^5 turns; the generated table measures the shuffle-bound regime).
+  */
 object Bench {
+
+  def forceAll(out: PipelineOutputs): Long = {
+    val turns = out.enriched.count()
+    out.routing.count()
+    out.routedTurns.count()
+    out.traceCounts.count()
+    out.sampledTraceCounts.count()
+    out.spanCounts.count()
+    out.redRollup.count()
+    out.latencyHistogram.count()
+    out.unpersistAll()
+    turns
+  }
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def runPipeline(spark: SparkSession, turns: DataFrame): (Long, Double) =
+    timed(forceAll(Pipeline.run(spark, turns, PipelineConfig.default)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      results(name) = sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // end-to-end pipeline over the sf-derived transcripts
+    val (sfTurns, sfSec) = runPipeline(spark, Transcripts.fromEvents(spark, sfDir))
+    results("pipeline_sf") = sfSec
+
+    // generator-scaled pipeline: 2M turns incl. hot (skewed) conversations
+    val gen = TranscriptGen.synthetic(spark, nConvs = 390000L, turnsPerConv = 5,
+      hotConvs = 5, hotFactor = 10000)
+    val (genTurns, genSec) = runPipeline(spark, gen)
+    results("pipeline_gen") = genSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val tput = (genTurns / genSec).toLong
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput}"""
+    )
     spark.stop()
   }
 }

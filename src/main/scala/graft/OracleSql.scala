@@ -230,6 +230,18 @@ object OracleSql {
 
   val stopwordList: String = sqlList(graft.operators.TextAnalysis.stopwordsEn)
 
+  /** DuckDB expression mirroring Norm.promName (utils.go:140-158). */
+  def duckPromName(inner: String): String = {
+    val base = s"replace($inner, '%', '_percent')"
+    val repl = " ,\t/\\.-:=“@<>".foldLeft(base) { (acc, ch) =>
+      ch match {
+        case '\t' => s"replace($acc, chr(9), '_')"
+        case c => s"replace($acc, '$c', '_')"
+      }
+    }
+    s"lower($repl)"
+  }
+
   def langScoreExprs: Seq[(String, String)] =
     graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> s"len(list_filter(toks, x -> list_contains(${sqlList(words)}, x)))"

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.PipelineConfig
 import graft.operators.{Aggregates, Enrich, Route}
@@ -10,21 +11,36 @@ import graft.operators.{Aggregates, Enrich, Route}
   * per-batch consume path + periodic flush
   * (reference: assertsprocessor/processor.go:58-76, sampler.go:215-276).
   *
-  * One logical plan per output; the enriched intermediate is shared.
-  * At cluster scale the intermediate would be checkpointed to a staging
-  * table so the fan-out writes are exactly-once and resumable; locally we
-  * cache it.
+  * One logical plan per output; the enriched intermediate is shared,
+  * pruned to the columns routing + aggregates read, and cached (on a
+  * cluster: checkpointed to a staging table so the fan-out writes are
+  * exactly-once and resumable).
+  *
+  * Observability: the enriched scan carries an [[Observation]] with
+  * per-stage row/error/slow counters (the reference's prometheus counters
+  * on the ingest path, metrics.go:138-184) at zero extra passes; every
+  * sink write appends a lineage record (per output file row counts) to
+  * `_lineage.jsonl`, and `writeSinks(resume = true)` skips sinks already
+  * recorded — mid-pipeline resumability.
   */
 final case class PipelineOutputs(
     enriched: DataFrame,
     routing: DataFrame,
     routedTurns: DataFrame,
+    fineRollup: DataFrame,
     traceCounts: DataFrame,
     sampledTraceCounts: DataFrame,
     spanCounts: DataFrame,
     redRollup: DataFrame,
-    latencyHistogram: DataFrame
-)
+    latencyHistogram: DataFrame,
+    observation: Observation
+) {
+  def unpersistAll(): Unit = {
+    enriched.unpersist()
+    routing.unpersist()
+    fineRollup.unpersist()
+  }
+}
 
 object Pipeline {
 
@@ -34,45 +50,162 @@ object Pipeline {
       cfg: PipelineConfig = PipelineConfig.default,
       cache: Boolean = true
   ): PipelineOutputs = {
+    val obs = Observation()
     val enriched0 = Enrich.enriched(turns, spark, cfg)
+      // prune to the columns routing + aggregates read before caching:
+      // the wide payload (text, url, ...) is re-read from the source only
+      // by the final sink join, keeping the cached/shuffled rows narrow
+      .select(
+        "conv_id", "turn_idx", "service", "namespace", "env", "site",
+        "entity_key", "span_class", "request_context", "latency_secs",
+        "dur_ms", "is_error", "error_routable", "is_slow_span", "threshold", "ts"
+      )
+      .observe(
+        obs,
+        count(lit(1)).as("turns_enriched"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("error_spans"),
+        sum(when(col("is_slow_span"), 1L).otherwise(0L)).as("slow_spans"),
+        approx_count_distinct(col("conv_id")).as("approx_convs")
+      )
     val enriched = if (cache) enriched0.cache() else enriched0
     val routing0 = Route.convRouting(enriched, cfg)
     val routing = if (cache) routing0.cache() else routing0
+    // ONE pass over the spans feeds every metric table (rollup tree)
+    val rollup0 = Aggregates.fineRollup(enriched, cfg)
+    val rollup = if (cache) rollup0.cache() else rollup0
     PipelineOutputs(
       enriched = enriched,
       routing = routing,
       routedTurns = Route.routedTurns(turns, routing),
+      fineRollup = rollup,
       traceCounts = Aggregates.traceCounts(routing),
       sampledTraceCounts = Aggregates.sampledTraceCounts(routing),
-      spanCounts = Aggregates.spanCounts(enriched),
-      redRollup = Aggregates.redRollup(enriched),
-      latencyHistogram = Aggregates.latencyHistogram(enriched, cfg)
+      spanCounts = Aggregates.spanCountsFrom(rollup),
+      redRollup = Aggregates.redRollupFrom(rollup),
+      latencyHistogram = Aggregates.latencyHistogramFrom(rollup),
+      observation = obs
     )
   }
 
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Per-output-file row counts of a written sink — the per-partition
+    * lineage record. */
+  private def fileLineage(spark: SparkSession, path: String): Seq[(String, Long)] =
+    spark.read
+      .parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+      .sortBy(_._1)
+
   /** Fan-out sink writes from one cached intermediate: errors / slow /
     * normal routed turns + metric tables, each an ordered parquet write
-    * (Iceberg `writeTo(...).append()` on a real cluster). Returns per-sink
-    * row counts (the reference's sampled-count counters).
+    * (Iceberg `writeTo(...).append()` on a real cluster). Appends one
+    * lineage JSON line per sink; with `resume = true`, sinks already in
+    * the manifest are skipped (idempotent re-run after a mid-job failure).
+    * Returns per-sink row counts.
     */
-  def writeSinks(out: PipelineOutputs, outDir: String): Map[String, Long] = {
-    val routed = out.routedTurns.cache()
-    val sinks = Seq("errors", "slow", "normal").map { s =>
-      val rows = routed.filter(col("sink") === s).orderBy("conv_id", "turn_idx")
-      rows.write.mode("overwrite").parquet(s"$outDir/sink_$s")
-      s -> rows.count()
-    }
-    val metrics = Seq(
+  def writeSinks(
+      out: PipelineOutputs,
+      outDir: String,
+      resume: Boolean = false,
+      lineage: Boolean = true
+  ): Map[String, Long] = {
+    Files.createDirectories(Paths.get(outDir))
+    val manifest = Paths.get(outDir, "_lineage.jsonl")
+    val done: Map[String, Long] =
+      if (resume && Files.exists(manifest))
+        scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(manifest)).asScala
+          .flatMap { line =>
+            for {
+              s <- "\"sink\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(line).map(_.group(1))
+              n <- "\"rows\":\\s*(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
+            } yield s -> n
+          }.toMap
+      else Map.empty
+
+    val spark = out.routedTurns.sparkSession
+    var wroteAny = false
+
+    def writeTarget(name: String, write: String => Unit): Long =
+      if (done.contains(name)) done(name)
+      else {
+        wroteAny = true
+        val path = s"$outDir/$name"
+        write(path)
+        if (!lineage) 0L
+        else {
+          val files = fileLineage(spark, path)
+          val rows = files.map(_._2).sum
+          val filesJson = files
+            .map { case (f, n) => s"{${jstr("file")}: ${jstr(f)}, ${jstr("rows")}: $n}" }
+            .mkString("[", ",", "]")
+          val line =
+            s"""{"sink": ${jstr(name)}, "rows": $rows, "n_files": ${files.size}, "files": $filesJson}"""
+          Files.writeString(
+            manifest,
+            line + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND
+          )
+          rows
+        }
+      }
+
+    // routed turns: ONE partitioned write fans out all three sinks
+    // (sink=errors/slow/normal directories). Hash-repartition by
+    // (sink, conv_id) + sortWithinPartitions keeps every conversation's
+    // turns contiguous and in stable (conv_id, turn_idx) order per file
+    // without a global range sort.
+    writeTarget(
+      "sinks",
+      path =>
+        out.routedTurns
+          .repartition(col("sink"), col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode("overwrite").partitionBy("sink").parquet(path)
+    )
+    val sinkCounts =
+      if (!lineage) Seq.empty
+      else {
+        val perSink = spark.read.parquet(s"$outDir/sinks")
+          .groupBy("sink").count().collect()
+          .map(r => s"sink_${r.getString(0)}" -> r.getLong(1)).toMap
+        Seq("errors", "slow", "normal").map(s => s"sink_$s" -> perSink.getOrElse(s"sink_$s", 0L))
+      }
+
+    val metricCounts = Seq(
       "metrics_trace_counts" -> out.traceCounts,
       "metrics_sampled_counts" -> out.sampledTraceCounts,
       "metrics_span_counts" -> out.spanCounts,
       "metrics_red" -> out.redRollup,
       "metrics_histogram" -> out.latencyHistogram
     ).map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> df.count()
+      name -> writeTarget(name, path => df.write.mode("overwrite").parquet(path))
     }
-    routed.unpersist()
-    (sinks ++ metrics).toMap
+    val counts = sinkCounts ++ metricCounts
+
+    // stage metrics observed on the enriched pass — only read when a write
+    // actually executed the plan (Observation.get blocks otherwise)
+    if (wroteAny) {
+      val obsJson = out.observation.getAsJava
+      val metrics = scala.jdk.CollectionConverters.MapHasAsScala(obsJson).asScala
+        .map { case (k, v) => s"${jstr(k)}: $v" }
+        .mkString("{", ",", "}")
+      Files.writeString(
+        manifest,
+        s"""{"sink": "_observed_metrics", "rows": 0, "metrics": $metrics}""" + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND
+      )
+    }
+    counts.toMap
   }
 }

@@ -92,6 +92,13 @@ object SparkEntry {
       Aggregates
         .latencyHistogram(enriched(s, dir), cfg)
         .orderBy("service", "le")),
+    // P11 prometheus name normalization over the label value domain
+    "q11_prom_names" -> ((s, dir) =>
+      Parse
+        .parsed(Enrich.withServiceDim(transcripts(s, dir), s))
+        .select("request_context").distinct()
+        .withColumn("prom_name", graft.functions.Norm.promName(col("request_context")))
+        .orderBy("request_context")),
 
     // ---- training-data pipeline operators (documents / embeddings) ----
     "q20_dedup_exact" -> ((s, dir) =>
@@ -109,6 +116,11 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "q26_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), w = 3, minEstimate = 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // SimHash near-dups via native codegen expression (rows-only check;
+    // equivalence vs jaccard near-dups asserted in DocOpsSpec)
+    "q27_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 6)
         .orderBy("doc_a", "doc_b")),
     // ANN: exact brute-force cosine top-k (oracle-checked)
     "q30_ann_topk" -> ((s, dir) => {
@@ -201,6 +213,10 @@ object SparkEntry {
     },
 
     // ---- training-data pipeline oracles ----
+    "q11_prom_names" -> OracleSql.parsedQuery(
+      s"""SELECT DISTINCT request_context, ${OracleSql.duckPromName("request_context")} AS prom_name
+         |FROM parsed2 ORDER BY request_context""".stripMargin
+    ),
     "q20_dedup_exact" ->
       """SELECT doc_id, fingerprint,
         |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,

@@ -39,47 +39,66 @@ object Aggregates {
       .groupBy("env", "site", "namespace", "service")
       .agg(count(lit(1)).as("span_count"))
 
-  /** RED rollup (request / error / duration) per tumbling window and
-    * (service, request context) — the `otel_span_latency_seconds`
-    * histogram's sum/count plus error counts, keyed per BASELINE by the
-    * time window and tool/service dimensions.
+  /** Fine-grained shared rollup: ONE scan of the enriched spans, partially
+    * aggregated to (window, env, site, namespace, service, request
+    * context, le-bucket) — every metric table below is a tiny re-rollup
+    * of this intermediate, so the fan-out of metric sinks costs one pass
+    * over the span data instead of one per table (rollup-tree; all
+    * measures stay integral so the derived tables are bit-identical to
+    * direct aggregation).
     */
-  def redRollup(enriched: DataFrame, windowMinutes: Int = 5): DataFrame = {
-    val winMicros = windowMinutes.toLong * 60L * 1000000L
-    enriched
-      .filter(col("span_class") =!= "internal")
-      .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
-      .groupBy("win_start_us", "service", "request_context")
-      .agg(
-        count(lit(1)).as("requests"),
-        sum(when(col("is_error"), 1L).otherwise(0L)).as("errors"),
-        // sum exact integer millis, divide once: order-independent, so the
-        // result is bit-identical across engines/partitionings
-        (sum(col("dur_ms")).cast("double") / 1000.0).as("duration_sum_secs"),
-        max(col("latency_secs")).as("duration_max_secs")
-      )
-  }
-
-  /** Latency histogram: per (service, le-bucket) span counts with the
-    * reference's default bucket bounds (factory.go:38). Emitted in the
-    * Prometheus cumulative-bucket form via a second small rollup.
-    * `width_bucket`-style CASE chain keeps it codegen-friendly.
-    */
-  def latencyHistogram(
+  def fineRollup(
       enriched: DataFrame,
-      cfg: PipelineConfig = PipelineConfig.default
+      cfg: PipelineConfig = PipelineConfig.default,
+      windowMinutes: Int = 5
   ): DataFrame = {
+    val winMicros = windowMinutes.toLong * 60L * 1000000L
     val buckets = cfg.histogramBuckets
-    // smallest bucket whose upper bound >= latency; +Inf when above all
     val leExpr = buckets.reverse.foldLeft(lit(Double.PositiveInfinity)) {
       case (acc, bound) => when(col("latency_secs") <= bound, lit(bound)).otherwise(acc)
     }
-    val raw = enriched
+    enriched
       .filter(col("span_class") =!= "internal")
+      .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
       .withColumn("le", leExpr)
+      .groupBy("win_start_us", "env", "site", "namespace", "service", "request_context", "le")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"),
+        sum(col("dur_ms")).as("dur_ms_sum"),
+        max(col("latency_secs")).as("lat_max")
+      )
+  }
+
+  /** `asserts_span_count_total` derived from the shared rollup. */
+  def spanCountsFrom(rollup: DataFrame): DataFrame =
+    rollup
+      .groupBy("env", "site", "namespace", "service")
+      .agg(sum("n_spans").as("span_count"))
+
+  /** RED rollup (request / error / duration) per tumbling window and
+    * (service, request context) — the `otel_span_latency_seconds`
+    * histogram's sum/count plus error counts, keyed per BASELINE by the
+    * time window and tool/service dimensions. Derived from the shared
+    * rollup; integer millis summed exactly and divided once, so the
+    * result is bit-identical across engines/partitionings.
+    */
+  def redRollupFrom(rollup: DataFrame): DataFrame =
+    rollup
+      .groupBy("win_start_us", "service", "request_context")
+      .agg(
+        sum("n_spans").as("requests"),
+        sum("n_errors").as("errors"),
+        (sum(col("dur_ms_sum")).cast("double") / 1000.0).as("duration_sum_secs"),
+        max("lat_max").as("duration_max_secs")
+      )
+
+  /** Latency histogram per (service, le) in the Prometheus cumulative-
+    * bucket form, derived from the shared rollup. */
+  def latencyHistogramFrom(rollup: DataFrame): DataFrame = {
+    val raw = rollup
       .groupBy("service", "le")
-      .agg(count(lit(1)).as("bucket_count"))
-    // cumulative counts per service ordered by bucket bound
+      .agg(sum("n_spans").as("bucket_count"))
     import org.apache.spark.sql.expressions.Window
     val cumW = Window
       .partitionBy("service")
@@ -87,4 +106,14 @@ object Aggregates {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     raw.withColumn("cumulative_count", sum("bucket_count").over(cumW))
   }
+
+  /** Direct (single-table) forms, kept for API completeness. */
+  def redRollup(enriched: DataFrame, windowMinutes: Int = 5): DataFrame =
+    redRollupFrom(fineRollup(enriched, PipelineConfig.default, windowMinutes))
+
+  def latencyHistogram(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default
+  ): DataFrame =
+    latencyHistogramFrom(fineRollup(enriched, cfg))
 }

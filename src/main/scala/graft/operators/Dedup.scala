@@ -87,11 +87,28 @@ object Dedup {
     )
   }
 
+  /** Per-doc signature table, materialized through a hash aggregation over
+    * exploded shingles: each of the NumHashes md5 evaluations happens
+    * exactly once per (doc, shingle) — the row-level expression form
+    * ([[minhashSignature]]) gets re-evaluated per band and per join side
+    * by downstream operators, a >10x blow-up. The aggregation is also the
+    * scale shape: partial min per partition, tiny (doc_id, 12 hashes)
+    * rows on the shuffle.
+    */
+  def minhashSigDf(docs: DataFrame, w: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+      .groupBy("doc_id")
+      .agg(
+        array(
+          (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s"))))): _*
+        ).as("sig")
+      )
+
   /** Per-doc LSH bands: (band_idx, band_key) where band_key concatenates
     * the band's minhash components. */
   def minhashBands(docs: DataFrame, w: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), minhashSignature(col("text"), w).as("sig"))
+    minhashSigDf(docs, w)
       .select(
         col("doc_id"), col("sig"),
         explode(
@@ -105,12 +122,58 @@ object Dedup {
       )
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
 
+  /** Per-doc 64-bit SimHash (native codegen expression). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), graft.functions.SimHash.simhash(col("text")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Pigeonhole banding: a pair within Hamming k of a 64-bit hash agrees
+    * exactly on at least one of (k+1) bit-chunks, so candidates join on
+    * (chunk_idx, chunk_value) — per-bucket pair generation, never a full
+    * cross join — and the exact `bit_count(a ^ b)` filter runs only on
+    * candidates.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks
+    val sh = simhashes(docs)
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until nChunks).map { b =>
+        struct(
+          lit(b).as("chunk_idx"),
+          shiftrightunsigned(col("simhash"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("chunk_val")
+        )
+      }: _*)).as("c")
+    ).select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
+    chunks.as("a")
+      .join(
+        chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bitCount(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+      )
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def bitCount(c: Column): Column = call_function("bit_count", c)
+
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard =
     * fraction of equal signature components. Pairs sharing >=1 band
     * bucket; estimate >= minEstimate.
     */
   def minhashLshPairs(docs: DataFrame, w: Int = 3, minEstimate: Double = 0.5): DataFrame = {
-    val bands = minhashBands(docs, w)
+    val sig = minhashSigDf(docs, w)
+    val bands = minhashBands(docs, w).select("doc_id", "band_idx", "band_key")
     val cand = bands.as("a")
       .join(
         bands.as("b"),
@@ -118,14 +181,11 @@ object Dedup {
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id")
       )
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"),
-        col("b.sig").as("sig_b")
-      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn(
         "est_jaccard",
         size(filter(

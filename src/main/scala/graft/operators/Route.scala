@@ -41,27 +41,47 @@ import graft.model.PipelineConfig
   */
 object Route {
 
-  /** Segment-level (conv_id, service) derived columns. */
+  /** Segment-level (conv_id, service) derived columns.
+    *
+    * Implemented as a partial-aggregable groupBy + equi-join rather than
+    * window functions: a window over (conv_id, service) puts every span of
+    * a hot conversation on one task with no map-side combine, while the
+    * hash aggregate reduces each input partition to <= |distinct segments|
+    * rows before the shuffle, and the join back is AQE-skew-splittable
+    * (spark.sql.adaptive.skewJoin) — the salting story for 10^12-turn hot
+    * conversations without hand-rolled salt columns.
+    */
   def withSegmentInfo(enriched: DataFrame): DataFrame = {
-    val segW = Window.partitionBy("conv_id", "service")
-    val segOrdered = segW.orderBy("class_rank", "turn_idx")
-    enriched
-      .withColumn(
-        "class_rank",
-        when(col("span_class") === "root", 0)
-          .when(col("span_class") === "entry", 1)
-          .when(col("span_class") === "exit", 2)
-          .otherwise(3)
+    val withRank = enriched.withColumn(
+      "class_rank",
+      when(col("span_class") === "root", 0)
+        .when(col("span_class") === "entry", 1)
+        .when(col("span_class") === "exit", 2)
+        .otherwise(3)
+    )
+    // main span = lexicographic min of (class_rank, turn_idx) among
+    // non-internal spans (trace.go:37-44 first-of root>entries>exits)
+    val mainStruct = when(
+      col("class_rank") < 3,
+      struct(
+        col("class_rank"), col("turn_idx"),
+        col("latency_secs"), col("request_context"), col("ts")
       )
-      .withColumn("seg_first_idx", min("turn_idx").over(segW))
-      .withColumn(
-        "is_main",
-        row_number().over(segOrdered) === 1 && col("class_rank") < 3
+    )
+    val segments = withRank
+      .groupBy("conv_id", "service")
+      .agg(
+        min("turn_idx").as("seg_first_idx"),
+        min(mainStruct).as("seg_main")
       )
-      .withColumn("seg_has_main", max(when(col("class_rank") < 3, 1).otherwise(0)).over(segW) === 1)
-      .withColumn("seg_latency", max(when(col("is_main"), col("latency_secs"))).over(segW))
-      .withColumn("seg_request", max(when(col("is_main"), col("request_context"))).over(segW))
-      .withColumn("seg_main_ts", max(when(col("is_main"), col("ts"))).over(segW))
+      .select(
+        col("conv_id"), col("service"), col("seg_first_idx"),
+        col("seg_main").isNotNull.as("seg_has_main"),
+        col("seg_main").getField("latency_secs").as("seg_latency"),
+        col("seg_main").getField("request_context").as("seg_request"),
+        col("seg_main").getField("ts").as("seg_main_ts")
+      )
+    withRank.join(segments, Seq("conv_id", "service"))
   }
 
   /** Per-span routing flag (error precedence, then slow), only for
@@ -130,32 +150,45 @@ object Route {
     // Request-cardinality cap: rank distinct request contexts per entity by
     // first-seen (min main_ts, then request for determinism); requests
     // ranked beyond the cap drop their conversations.
-    val firstSeenW = Window.partitionBy("entity_key", "request_context")
-    val rankW = Window
-      .partitionBy("entity_key")
-      .orderBy(col("request_first_ts"), col("request_context"))
+    //
+    // Scale shape: the rank runs over the DISTINCT (entity, request) table
+    // (a partial-aggregable groupBy), not over the conv rows — a window
+    // partitioned by entity_key alone would put every conversation of an
+    // entity into one task (5 entities = 5 tasks, zero scaling). The tiny
+    // ranked dim then joins back (AQE picks broadcast when it is small).
+    val requestRank = conv
+      .groupBy("entity_key", "request_context")
+      .agg(min("main_ts").as("request_first_ts"))
+      .withColumn(
+        "request_rank",
+        dense_rank().over(
+          Window.partitionBy("entity_key").orderBy(col("request_first_ts"), col("request_context"))
+        )
+      )
+      .drop("request_first_ts")
     val capped = conv
-      .withColumn("request_first_ts", min("main_ts").over(firstSeenW))
-      .withColumn("request_rank", dense_rank().over(rankW))
+      .join(requestRank, Seq("entity_key", "request_context"))
       .withColumn("request_capped", col("request_rank") > cfg.limitPerService)
 
     // Normal sampling: among unflagged, uncapped conversations, the first
     // (by main ts, conv_id) per (entity, request, tumbling window).
+    // Non-candidate rows get a per-conv spreader key so they do not pile
+    // into one fat (entity, request, NULL) window partition — their
+    // row_number is masked to NULL anyway, only the partitioning changes.
     val winMicros = cfg.normalSamplingFrequencyMinutes.toLong * 60L * 1000000L
     val sampleW = Window
-      .partitionBy(col("entity_key"), col("request_context"), col("sample_win"))
+      .partitionBy(col("entity_key"), col("request_context"), col("sample_win"), col("sample_spread"))
       .orderBy(col("main_ts"), col("conv_id"))
     val sampled = capped
+      .withColumn("is_normal_candidate", col("flag_type").isNull && !col("request_capped"))
       .withColumn(
         "sample_win",
-        when(
-          col("flag_type").isNull && !col("request_capped"),
-          expr(s"unix_micros(cast(main_ts as timestamp)) div $winMicros")
-        )
+        when(col("is_normal_candidate"), expr(s"unix_micros(cast(main_ts as timestamp)) div $winMicros"))
       )
+      .withColumn("sample_spread", when(col("is_normal_candidate"), lit("")).otherwise(col("conv_id")))
       .withColumn(
         "normal_rn",
-        when(col("sample_win").isNotNull, row_number().over(sampleW))
+        when(col("is_normal_candidate"), row_number().over(sampleW))
       )
       .withColumn(
         "sample_type",
@@ -166,8 +199,9 @@ object Route {
 
     // Top-K retention: error queue, and the shared slow queue (slow +
     // normal), each per (entity, request), keep K highest-latency.
+    // Same spreader trick for unqueued rows.
     val queueW = Window
-      .partitionBy(col("entity_key"), col("request_context"), col("queue_class"))
+      .partitionBy(col("entity_key"), col("request_context"), col("queue_class"), col("queue_spread"))
       .orderBy(col("latency").desc, col("conv_id"))
     sampled
       .withColumn(
@@ -175,6 +209,7 @@ object Route {
         when(col("sample_type") === "error", "error")
           .when(col("sample_type").isin("slow", "normal"), "slow")
       )
+      .withColumn("queue_spread", when(col("queue_class").isNotNull, lit("")).otherwise(col("conv_id")))
       .withColumn(
         "queue_rn",
         when(col("queue_class").isNotNull, row_number().over(queueW))
@@ -189,7 +224,7 @@ object Route {
             .otherwise("normal")
         )
       )
-      .drop("sample_win", "normal_rn", "request_first_ts")
+      .drop("sample_win", "sample_spread", "normal_rn", "is_normal_candidate", "queue_spread")
   }
 
   /** Span-level sink rows: every turn of each retained conversation, tagged

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The transcript source table: multi-turn conversation / agent transcripts
@@ -32,6 +32,35 @@ object Transcripts {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
     deriveTurns(spark.read.parquet(s"$sfDir/events.parquet"))
 
+  /** service.name analogue per event type (utils.go:42-53). */
+  def svcOf(eventType: Column): Column =
+    when(eventType === "signup", "auth")
+      .when(eventType === "view", "catalog")
+      .when(eventType === "click", "web")
+      .when(eventType === "purchase", "payments")
+      .otherwise("api-server")
+
+  def statusOf(eventType: Column, k: Column): Column =
+    when(
+      eventType === "error",
+      when(k % 2 === 0, lit(500) + k % 20).otherwise(lit(400) + k % 20)
+    ).otherwise(lit(200))
+
+  def roleOf(eventType: Column): Column =
+    when(eventType.isin("signup", "view"), "user")
+      .when(eventType === "click", "assistant")
+      .otherwise("tool")
+
+  def textOf(svc: Column, eventType: Column, k: Column, status: Column): Column =
+    concat(
+      lit("call="), svc, lit(".m"), (k % 5).cast("string"),
+      lit(" url=https://svc.example.com/"), eventType,
+      lit("/v"), (k % 10).cast("string"),
+      lit("/tail?q="), k.cast("string"),
+      lit(" status="), status.cast("string"),
+      lit(" dur="), (k * 10).cast("string"), lit("ms")
+    )
+
   def deriveTurns(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
@@ -41,24 +70,8 @@ object Transcripts {
     val withK = events
       .withColumn("k", k)
       .withColumn("day", day)
-      .withColumn(
-        "svc",
-        // service dimension of the turn (the reference's resource
-        // service.name analogue, utils.go:42-53)
-        when(col("event_type") === "signup", "auth")
-          .when(col("event_type") === "view", "catalog")
-          .when(col("event_type") === "click", "web")
-          .when(col("event_type") === "purchase", "payments")
-          .otherwise("api-server")
-      )
-      .withColumn(
-        "status",
-        when(
-          col("event_type") === "error",
-          when(col("k") % 2 === 0, lit(500) + col("k") % 20)
-            .otherwise(lit(400) + col("k") % 20)
-        ).otherwise(lit(200))
-      )
+      .withColumn("svc", svcOf(col("event_type")))
+      .withColumn("status", statusOf(col("event_type"), col("k")))
     val convWindow =
       Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"), col("event_id"))
     withK
@@ -67,23 +80,8 @@ object Transcripts {
         concat(lit("c"), col("user_id").cast("string"), lit("d"), col("day").cast("string"))
       )
       .withColumn("turn_idx", (row_number().over(convWindow) - 1).cast("int"))
-      .withColumn(
-        "role",
-        when(col("event_type").isin("signup", "view"), "user")
-          .when(col("event_type") === "click", "assistant")
-          .otherwise("tool")
-      )
-      .withColumn(
-        "text",
-        concat(
-          lit("call="), col("svc"), lit(".m"), (col("k") % 5).cast("string"),
-          lit(" url=https://svc.example.com/"), col("event_type"),
-          lit("/v"), (col("k") % 10).cast("string"),
-          lit("/tail?q="), col("k").cast("string"),
-          lit(" status="), col("status").cast("string"),
-          lit(" dur="), (col("k") * 10).cast("string"), lit("ms")
-        )
-      )
+      .withColumn("role", roleOf(col("event_type")))
+      .withColumn("text", textOf(col("svc"), col("event_type"), col("k"), col("status")))
       .select(
         col("conv_id"),
         col("turn_idx"),

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.Pipeline
+import graft.model.PipelineConfig
+
+/** Structured-streaming re-expression of the reference's runtime shape:
+  * the collector consumes span batches continuously and flushes retained
+  * traces every `TraceFlushFrequencySeconds` (reference:
+  * assertsprocessor/sampler.go:215-276, factory.go:45 default 30s).
+  *
+  * The batch pipeline IS the per-flush computation, so the streaming
+  * variant is `foreachBatch` on a 30s trigger running the identical
+  * logical plan per micro-batch — routing/top-K state is per-flush-window
+  * in the reference (queues are drained and cleared on every flush,
+  * service_queue.go:30-37), which maps exactly to per-micro-batch batch
+  * semantics, not to cross-batch state.
+  *
+  * The one genuinely cross-batch piece of state is the periodic "normal"
+  * sampler (one healthy trace per (entity, request) per N minutes,
+  * periodic_sampler.go:13-31) — that is [[normalSamplerStream]], a
+  * `flatMapGroupsWithState` keeping lastSampleTime per key with a
+  * processing-time timeout for eviction (the TTL-cache analogue,
+  * metric_helper.go:91-116).
+  */
+object StreamingPipeline {
+
+  /** Continuous variant: run the full batch pipeline per micro-batch and
+    * fan out to the per-sink directories. */
+  def start(
+      spark: SparkSession,
+      turnsStream: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig = PipelineConfig.default,
+      flushSeconds: Int = 30
+  ): StreamingQuery =
+    turnsStream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.ProcessingTime(s"$flushSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = Pipeline.run(spark, batch, cfg)
+        Pipeline.writeSinks(out, s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
+
+  /** Cross-batch periodic sampling state for one (entity, request) key. */
+  final case class SamplerKey(entity_key: String, request_context: String)
+  final case class SamplerCandidate(
+      entity_key: String,
+      request_context: String,
+      conv_id: String,
+      ts_micros: Long
+  )
+  final case class SamplerState(lastSampleMicros: Long)
+  final case class SampledConv(
+      entity_key: String,
+      request_context: String,
+      conv_id: String,
+      ts_micros: Long,
+      sample_type: String
+  )
+
+  /** The reference's periodicSamplingState.sample() as a stateful stream:
+    * for each key, emit the first candidate whose event time is >= one
+    * sampling period after the last emitted sample (periodic_sampler.go:
+    * 13-31, double-checked-locking semantics collapse to per-key
+    * sequential state here). State idles out after `stateTtlMinutes`
+    * without traffic (the RequestContextCacheTTL analogue).
+    */
+  def sampleGroup(
+      samplingPeriodMinutes: Int,
+      stateTtl: Boolean
+  )(
+      key: SamplerKey,
+      rows: Iterator[SamplerCandidate],
+      state: GroupState[SamplerState]
+  ): Iterator[SampledConv] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val periodMicros = samplingPeriodMinutes.toLong * 60L * 1000000L
+      var last = state.getOption.map(_.lastSampleMicros).getOrElse(Long.MinValue)
+      val out = rows.toSeq.sortBy(c => (c.ts_micros, c.conv_id)).flatMap { c =>
+        if (last == Long.MinValue || c.ts_micros >= last + periodMicros) {
+          last = c.ts_micros
+          Some(SampledConv(c.entity_key, c.request_context, c.conv_id, c.ts_micros, "normal"))
+        } else None
+      }
+      state.update(SamplerState(last))
+      if (stateTtl) state.setTimeoutDuration(s"${samplingPeriodMinutes * 12} minutes")
+      out.iterator
+    }
+  }
+
+  /** Wire the stateful sampler over a stream of healthy conv candidates.
+    * `stateTtl = true` evicts idle keys via processing-time timeout (the
+    * RequestContextCacheTTL analogue); tests run with `false` so
+    * `processAllAvailable` terminates deterministically. */
+  def normalSamplerStream(
+      spark: SparkSession,
+      candidates: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      stateTtl: Boolean = true
+  ): org.apache.spark.sql.Dataset[SampledConv] = {
+    import spark.implicits._
+    val timeout =
+      if (stateTtl) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    candidates
+      .as[SamplerCandidate]
+      .groupByKey(c => SamplerKey(c.entity_key, c.request_context))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        sampleGroup(cfg.normalSamplingFrequencyMinutes, stateTtl)
+      )
+  }
+}

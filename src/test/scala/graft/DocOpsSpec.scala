@@ -73,6 +73,33 @@ class DocOpsSpec extends SparkTestBase {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("simhash: identical text -> distance 0; near-dup text -> small distance") {
+    val d = docDf(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 zz"),
+      (4L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11 l12")
+    )
+    val h = Dedup.simhashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(graft.functions.SimHash.hamming(h(1L), h(3L)) <= 16)
+    assert(graft.functions.SimHash.hamming(h(1L), h(4L)) > 16)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash finds the planted near-duplicates on the corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 12)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(sim).size.toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall $recall (|exact|=${exact.size}, |sim|=${sim.size})")
+  }
+
   test("token stats and quality gates") {
     val d = docDf(
       (1L, "the cat sat on the mat and it was good for all of us"), // clean

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.model.PipelineConfig
+import graft.sources.Transcripts
+import scala.jdk.CollectionConverters._
+
+/** End-to-end fan-out, lineage manifest, observation metrics, resume. */
+class PipelineSpec extends SparkTestBase {
+
+  private val cfg = PipelineConfig.default
+
+  test("fan-out writes sinks + metrics with per-file lineage and observed counters") {
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val turns = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = Pipeline.run(spark, turns, cfg)
+    val counts = Pipeline.writeSinks(out, dir)
+
+    // sinks partition the kept conversations' turns
+    val keptTurns = out.routedTurns.count()
+    assert(counts("sink_errors") + counts("sink_slow") + counts("sink_normal") == keptTurns)
+    assert(counts("metrics_red") > 0 && counts("metrics_histogram") > 0)
+
+    val manifest = Files.readAllLines(Paths.get(dir, "_lineage.jsonl")).asScala
+    assert(manifest.count(_.contains("\"sink\"")) == 7) // 6 targets + observed metrics
+    val obsLine = manifest.find(_.contains("_observed_metrics")).get
+    assert(obsLine.contains("turns_enriched"))
+    assert("\"turns_enriched\":\\s*(\\d+)".r.findFirstMatchIn(obsLine).map(_.group(1).toLong).contains(turns.count()))
+
+    // per-turn text equality: sink rows reproduce input text exactly
+    val sinkRows = spark.read.parquet(s"$dir/sinks/sink=errors")
+    val joined = sinkRows.as("s")
+      .join(turns.as("t"), Seq("conv_id", "turn_idx"))
+      .filter(org.apache.spark.sql.functions.col("s.text") =!= org.apache.spark.sql.functions.col("t.text"))
+    assert(joined.count() == 0)
+  }
+
+  test("resume skips sinks already in the lineage manifest") {
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val turns = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val first = Pipeline.writeSinks(Pipeline.run(spark, turns, cfg), dir)
+    val manifestBefore = Files.readAllLines(Paths.get(dir, "_lineage.jsonl")).asScala.toList
+    // resume: nothing re-written, same counts returned from the manifest
+    val second = Pipeline.writeSinks(Pipeline.run(spark, turns, cfg), dir, resume = true)
+    assert(second == first)
+    val manifestAfter = Files.readAllLines(Paths.get(dir, "_lineage.jsonl")).asScala.toList
+    assert(manifestAfter == manifestBefore) // no new lineage lines
+  }
+}

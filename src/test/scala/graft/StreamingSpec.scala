@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{SampledConv, SamplerCandidate}
+
+/** Streaming re-expression: stateful periodic sampler + foreachBatch
+  * pipeline (reference: periodic_sampler.go:13-31, sampler.go:215-276).
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def minutes(m: Long): Long = m * 60L * 1000000L
+
+  test("stateful normal sampler emits one sample per key per period across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SamplerCandidate]
+    val sampled = StreamingPipeline.normalSamplerStream(spark, input.toDF(), stateTtl = false)
+    val q = sampled.writeStream
+      .format("memory")
+      .queryName("sampled_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two candidates same key inside one period -> first only
+      input.addData(
+        SamplerCandidate("e1", "/r", "c1", minutes(0)),
+        SamplerCandidate("e1", "/r", "c2", minutes(1)),
+        SamplerCandidate("e2", "/r", "c3", minutes(0))
+      )
+      q.processAllAvailable()
+      // batch 2: state persists -> c4 still inside e1's period, c5 past it
+      input.addData(
+        SamplerCandidate("e1", "/r", "c4", minutes(4)),
+        SamplerCandidate("e1", "/r", "c5", minutes(6))
+      )
+      q.processAllAvailable()
+      val got = spark.table("sampled_out").as[SampledConv].collect()
+        .map(s => s.conv_id).sorted.toSeq
+      assert(got == Seq("c1", "c3", "c5"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch pipeline: each micro-batch routes and writes sinks like the batch job") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[graft.model.Turn]
+    val q = StreamingPipeline.start(spark, input.toDF(), dir, flushSeconds = 1)
+    try {
+      input.addData(
+        turn("c1", 0, "user", "api-server", durMs = 700, tSecs = 10), // slow
+        turn("c2", 0, "user", "api-server", durMs = 100, status = 503, tSecs = 20) // error
+      )
+      q.processAllAvailable()
+    } finally q.stop()
+    val errors = spark.read.parquet(s"$dir/batch_0/sinks/sink=errors")
+    val slow = spark.read.parquet(s"$dir/batch_0/sinks/sink=slow")
+    assert(errors.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c2"))
+    assert(slow.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c1"))
+  }
+}
