@@ -182,16 +182,18 @@ object Pipeline {
         Seq("errors", "slow", "normal").map(s => s"sink_$s" -> perSink.getOrElse(s"sink_$s", 0L))
       }
 
-    val metricCounts = Seq(
-      "metrics_trace_counts" -> out.traceCounts,
-      "metrics_sampled_counts" -> out.sampledTraceCounts,
-      "metrics_span_counts" -> out.spanCounts,
-      "metrics_red" -> out.redRollup,
-      "metrics_histogram" -> out.latencyHistogram
-    ).map { case (name, df) =>
-      name -> writeTarget(name, path => df.write.mode("overwrite").parquet(path))
-    }
-    val counts = sinkCounts ++ metricCounts
+    // all metric tables in one long-format write (one action, one sink
+    // table — the Prometheus-endpoint shape)
+    val metricsRows = writeTarget(
+      "metrics",
+      path =>
+        Aggregates
+          .prometheusTable(
+            out.traceCounts, out.sampledTraceCounts, out.spanCounts,
+            out.redRollup, out.latencyHistogram)
+          .write.mode("overwrite").parquet(path)
+    )
+    val counts = sinkCounts ++ Seq("metrics" -> metricsRows)
 
     // stage metrics observed on the enriched pass — only read when a write
     // actually executed the plan (Observation.get blocks otherwise)

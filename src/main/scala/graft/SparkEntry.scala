@@ -92,6 +92,17 @@ object SparkEntry {
       Aggregates
         .latencyHistogram(enriched(s, dir), cfg)
         .orderBy("service", "le")),
+    // P9 turn-gap latency: event-time delta to the next turn in the
+    // conversation (utils.go:27-29 end-start analogue for transcripts)
+    "q12_turn_gap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      transcripts(s, dir)
+        .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .select("conv_id", "turn_idx", "gap_us")
+        .orderBy("conv_id", "turn_idx")
+    }),
     // P11 prometheus name normalization over the label value domain
     "q11_prom_names" -> ((s, dir) =>
       Parse
@@ -213,6 +224,11 @@ object SparkEntry {
     },
 
     // ---- training-data pipeline oracles ----
+    "q12_turn_gap" -> Transcripts.oracle(
+      """SELECT conv_id, turn_idx,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) - epoch_us(ts) AS gap_us
+        |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin
+    ),
     "q11_prom_names" -> OracleSql.parsedQuery(
       s"""SELECT DISTINCT request_context, ${OracleSql.duckPromName("request_context")} AS prom_name
          |FROM parsed2 ORDER BY request_context""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.PipelineConfig
 
@@ -105,6 +105,58 @@ object Aggregates {
       .orderBy("le")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     raw.withColumn("cumulative_count", sum("bucket_count").over(cumW))
+  }
+
+  /** All metric tables as ONE long-format relation (metric_name, label
+    * columns, value) — the shape of the reference's single Prometheus
+    * scrape endpoint (metrics_exporter.go:22-56), and one write instead
+    * of five: per-action driver overhead (planning, AQE, commit) is the
+    * Amdahl term of the whole job, so fewer actions is a scaling feature,
+    * not just tidiness.
+    */
+  def prometheusTable(
+      traceCounts: DataFrame,
+      sampledCounts: DataFrame,
+      spanCounts: DataFrame,
+      red: DataFrame,
+      histogram: DataFrame
+  ): DataFrame = {
+    val n = lit(null).cast("string")
+    val nl = lit(null).cast("long")
+    def shape(
+        df: DataFrame, metric: String, value: Column,
+        sampleType: Column = null, namespace: Column = null, service: Column = null,
+        requestContext: Column = null, winStart: Column = null, le: Column = null,
+        env: Column = null, site: Column = null
+    ): DataFrame =
+      df.select(
+        lit(metric).as("metric_name"),
+        Option(env).getOrElse(n).as("env"),
+        Option(site).getOrElse(n).as("site"),
+        Option(sampleType).getOrElse(n).as("sample_type"),
+        Option(namespace).getOrElse(n).as("namespace"),
+        Option(service).getOrElse(n).as("service"),
+        Option(requestContext).getOrElse(n).as("request_context"),
+        Option(winStart).getOrElse(nl).as("win_start_us"),
+        Option(le).getOrElse(lit(null).cast("double")).as("le"),
+        value.cast("double").as("value")
+      )
+    shape(traceCounts, "asserts_trace_count_total", col("trace_count"),
+      env = col("env"), site = col("site"))
+      .unionByName(shape(sampledCounts, "asserts_trace_sampled_count_total", col("sampled_count"),
+        env = col("env"), site = col("site"), sampleType = col("sample_type")))
+      .unionByName(shape(spanCounts, "asserts_span_count_total", col("span_count"),
+        env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service")))
+      .unionByName(shape(red, "red_requests_total", col("requests"),
+        service = col("service"), requestContext = col("request_context"), winStart = col("win_start_us")))
+      .unionByName(shape(red, "red_errors_total", col("errors"),
+        service = col("service"), requestContext = col("request_context"), winStart = col("win_start_us")))
+      .unionByName(shape(red, "red_duration_seconds_sum", col("duration_sum_secs"),
+        service = col("service"), requestContext = col("request_context"), winStart = col("win_start_us")))
+      .unionByName(shape(red, "red_duration_seconds_max", col("duration_max_secs"),
+        service = col("service"), requestContext = col("request_context"), winStart = col("win_start_us")))
+      .unionByName(shape(histogram, "otel_span_latency_seconds_bucket", col("cumulative_count"),
+        service = col("service"), le = col("le")))
   }
 
   /** Direct (single-table) forms, kept for API completeness. */

@@ -22,10 +22,12 @@ object TranscriptGen {
       nConvs: Long,
       turnsPerConv: Int,
       hotConvs: Int = 0,
-      hotFactor: Int = 100
+      hotFactor: Int = 100,
+      partitions: Option[Int] = None
   ): DataFrame = {
+    val nPart = partitions.getOrElse(spark.sparkContext.defaultParallelism)
     val base = spark
-      .range(nConvs * turnsPerConv)
+      .range(0L, nConvs * turnsPerConv, 1L, nPart)
       .select(
         (col("id") / turnsPerConv).cast("long").as("conv"),
         (col("id") % turnsPerConv).cast("int").as("turn_idx"),
@@ -35,7 +37,7 @@ object TranscriptGen {
       if (hotConvs <= 0) None
       else Some(
         spark
-          .range(hotConvs.toLong * turnsPerConv * hotFactor)
+          .range(0L, hotConvs.toLong * turnsPerConv * hotFactor, 1L, nPart)
           .select(
             (lit(nConvs) + col("id") / (turnsPerConv * hotFactor)).cast("long").as("conv"),
             (col("id") % (turnsPerConv * hotFactor)).cast("int").as("turn_idx"),

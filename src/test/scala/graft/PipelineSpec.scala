@@ -19,10 +19,10 @@ class PipelineSpec extends SparkTestBase {
     // sinks partition the kept conversations' turns
     val keptTurns = out.routedTurns.count()
     assert(counts("sink_errors") + counts("sink_slow") + counts("sink_normal") == keptTurns)
-    assert(counts("metrics_red") > 0 && counts("metrics_histogram") > 0)
+    assert(counts("metrics") > 0)
 
     val manifest = Files.readAllLines(Paths.get(dir, "_lineage.jsonl")).asScala
-    assert(manifest.count(_.contains("\"sink\"")) == 7) // 6 targets + observed metrics
+    assert(manifest.count(_.contains("\"sink\"")) == 3) // sinks + metrics + observed
     val obsLine = manifest.find(_.contains("_observed_metrics")).get
     assert(obsLine.contains("turns_enriched"))
     assert("\"turns_enriched\":\\s*(\\d+)".r.findFirstMatchIn(obsLine).map(_.group(1).toLong).contains(turns.count()))
