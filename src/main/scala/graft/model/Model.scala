@@ -40,7 +40,22 @@ final case class PipelineConfig(
       * (sampler.go:195-198). */
     ignoreClientErrors: Boolean = true,
     /** Latency histogram bucket upper bounds in seconds (factory.go:38). */
-    histogramBuckets: Seq[Double] = PipelineConfig.DefaultBuckets
+    histogramBuckets: Seq[Double] = PipelineConfig.DefaultBuckets,
+    /** Capture the latency histogram at all (config.go `capture_metrics`,
+      * processor.go gate). */
+    captureMetrics: Boolean = true,
+    /** Extra span/resource attribute columns captured as metric labels
+      * (config.go `attributes_as_metric_labels`, metric_helper.go:143-183).
+      * Names are resolved against the enriched relation's columns; prom
+      * normalization applies to the label name. */
+    captureAttributesInMetric: Seq[String] = Nil,
+    /** TTL of the per-service request-context cache guarding metric
+      * cardinality (config.go `request_context_cache_ttl_minutes`,
+      * factory.go default 60). */
+    requestContextCacheTTLMinutes: Int = 60,
+    /** Flush cadence of the streaming variant (config.go
+      * `trace_flush_frequency_seconds`, factory.go default 30). */
+    traceFlushFrequencySeconds: Int = 30
 )
 
 object PipelineConfig {

@@ -61,6 +61,56 @@ class ConfigLoaderSpec extends SparkTestBase {
     assert(r.serviceKey == "default" && r.replacement == "client_errors")
   }
 
+  test("loads the reference's sample-collector-config.yaml verbatim (value_expr/$$n dialect)") {
+    val yaml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/sample-collector-config.yaml"))
+    val jc = ConfigLoader.fromYaml(yaml)
+    // reference mapstructure field names (config.go:18-37)
+    assert(jc.pipeline.env == "dev" && jc.pipeline.site == "dev")
+    assert(jc.pipeline.captureMetrics)
+    assert(jc.pipeline.captureAttributesInMetric ==
+      Seq("rpc.system", "rpc.service", "rpc.method", "aws.table.name", "aws.queue.url"))
+    // value_expr is the replacement key (custom_attribute.go:14): the
+    // error-type rules must compile to client_errors/server_errors, NOT "$1"
+    val errRules = jc.rules("asserts.error.type")
+    assert(errRules.map(_.replacement) == Seq("client_errors", "server_errors"))
+    assert(errRules.head.regex == "4..")
+    // span kinds normalized to the transcript span_class domain
+    assert(errRules.head.spanKinds == Seq("exit", "entry")) // ["Client","Server"]
+    // $$n collector escapes unescaped to $n (sample-collector-config.yaml:58-64)
+    val ctxRules = jc.rules("asserts.request.context")
+    assert(ctxRules.exists(_.replacement == "$1#$2#$3#$4"))
+    assert(ctxRules.exists(_.replacement == "$1#$2"))
+    // service-scoped rule lists keep their ns#svc keys
+    assert(ctxRules.exists(_.serviceKey == "robot-shop#payment"))
+    assert(ctxRules.exists(_.serviceKey == "robot-shop#shipping"))
+    // rules with no value_expr default to "$1" (custom_attribute.go:60-63)
+    assert(ctxRules.filter(_.serviceKey == "robot-shop#payment").forall(_.replacement == "$1"))
+  }
+
+  test("reference error-type rules reproduce span_enrichment_test semantics") {
+    // mirrors span_enrichment_test.go:128-204: 4xx status -> client_errors,
+    // 5xx -> server_errors, via the loaded (value_expr) rules
+    import org.apache.spark.sql.functions._
+    val yaml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/sample-collector-config.yaml"))
+    val jc = ConfigLoader.fromYaml(yaml)
+    val errCol = graft.functions.Rules.compileTarget(
+      jc.rules("asserts.error.type"),
+      attr = _ => col("status"), kindCol = col("kind"),
+      serviceKeyCol = col("sk"), nsCol = col("ns"), svcCol = col("svc"))
+    val df = spark.createDataFrame(Seq(
+      ("404", "entry", "asserts#api-server", "asserts", "api-server"),
+      ("504", "exit", "asserts#api-server", "asserts", "api-server"),
+      ("200", "entry", "asserts#api-server", "asserts", "api-server")
+    )).toDF("status", "kind", "sk", "ns", "svc")
+    val got = df.select(col("status"), errCol.as("et")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("404") == "client_errors")
+    assert(got("504") == "server_errors")
+    assert(got("200") == null)
+  }
+
   test("invalid regex fails job submission (Config.Validate semantics)") {
     val bad = yamlNew.replace("https?://.+?((/[^/?]+){1,3}).*", "(unclosed")
     intercept[java.util.regex.PatternSyntaxException](ConfigLoader.fromYaml(bad))
@@ -72,10 +122,15 @@ class ConfigLoaderSpec extends SparkTestBase {
       """asserts_processor:
         |  default_latency_threshold: 2.0
         |  ignore_client_errors: true
+        |  capture_metrics: false
+        |  attributes_as_metric_labels: [call_service]
         |""".stripMargin)
     val merged = ConfigLoader.merge(local, remote, remoteYamlHadBuckets = false)
     assert(merged.pipeline.defaultLatencyThresholdSecs == 2.0)
     assert(merged.pipeline.ignoreClientErrors)
+    // all 7 factory.go:69-82 precedence fields, incl. the metric ones
+    assert(!merged.pipeline.captureMetrics)
+    assert(merged.pipeline.captureAttributesInMetric == Seq("call_service"))
     assert(merged.pipeline.histogramBuckets == local.pipeline.histogramBuckets)
     assert(merged.rules == local.rules) // remote had none
   }
