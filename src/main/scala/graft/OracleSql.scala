@@ -175,6 +175,55 @@ object OracleSql {
        |  FROM topk
        |)""".stripMargin
 
+  /** q13 oracle: the capped, config-labeled latency histogram (mirrors
+    * Aggregates.cappedLabeledHistogram — metric_helper.go:85-183 cap +
+    * label building, metrics.go:79-103 label registration). */
+  def cappedHistogramOracle(
+      limit: Int,
+      extraLabels: Seq[String],
+      buckets: Seq[Double]
+  ): String = {
+    val leCase = buckets
+      .map(b => s"WHEN latency_secs <= $b THEN CAST($b AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
+    val extraSel = extraLabels
+      .map(n => s"COALESCE(CAST(e.$n AS VARCHAR), '') AS ${graft.functions.Norm.promName(n)}")
+    val labelNames = Seq("asserts_env", "asserts_site", "namespace", "service", "span_kind", "status_code") ++
+      extraLabels.map(graft.functions.Norm.promName) ++
+      Seq("asserts_request_type", "asserts_request_context", "asserts_error_type")
+    val labelList = labelNames.mkString(", ")
+    val ctes =
+      s"""mrank AS (
+         |  SELECT service_key, request_context,
+         |    dense_rank() OVER (PARTITION BY service_key ORDER BY ctx_first_ts, request_context) AS ctx_rank
+         |  FROM (SELECT service_key, request_context, min(ts) AS ctx_first_ts
+         |        FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2)
+         |),
+         |met AS (
+         |  SELECT e.env AS asserts_env, e.site AS asserts_site, e.namespace, e.service,
+         |    e.span_class AS span_kind,
+         |    COALESCE(CAST(e.status_code AS VARCHAR), '') AS status_code,
+         |    ${extraSel.map(_ + ",").mkString("\n    ")}
+         |    COALESCE(e.request_type, '') AS asserts_request_type,
+         |    COALESCE(e.request_context, '') AS asserts_request_context,
+         |    COALESCE(e.error_type, '') AS asserts_error_type,
+         |    $leCase AS le
+         |  FROM enr e JOIN mrank r
+         |    ON e.service_key = r.service_key AND e.request_context = r.request_context
+         |  WHERE e.span_class <> 'internal' AND r.ctx_rank <= $limit
+         |),
+         |hist AS (
+         |  SELECT $labelList, le, CAST(count(*) AS BIGINT) AS bucket_count
+         |  FROM met GROUP BY ALL
+         |)""".stripMargin
+    query(
+      s"""SELECT *, CAST(sum(bucket_count) OVER (PARTITION BY $labelList ORDER BY le) AS BIGINT) AS cumulative_count
+         |FROM hist
+         |ORDER BY $labelList, le""".stripMargin,
+      parsedCte, enrichedCte, ctes
+    )
+  }
+
   /** Assemble an oracle query: transcripts CTE + the given fragments +
     * final SELECT body. */
   def query(body: String, fragments: String*): String =
@@ -227,6 +276,96 @@ object OracleSql {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings
       |)""".stripMargin
+
+  /** Multi-table LSH bucket rows over the quantized embeddings `e` —
+    * mirrors Similarity.bucketed with the identical quantized hyperplane
+    * constants (one UNION ALL arm per table). */
+  def lshBucketsCte(nTables: Int = 8, nPlanes: Int = 6, dims: Int = 64): String = {
+    val arms = graft.operators.Similarity.planeTables(nTables, nPlanes, dims)
+      .map { case (t, planes) =>
+        s"  SELECT vec_id, v, $t AS table_idx, ${graft.operators.Similarity.bucketSql("v", planes)} AS bucket FROM e"
+      }
+      .mkString("\n  UNION ALL\n")
+    s"tb AS (\n$arms\n)"
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+
+  /** q31 oracle: multi-table LSH candidates -> exact cosine -> top-k. */
+  def annLshOracle(k: Int): String =
+    embQuantCte + ",\n" + lshBucketsCte() + s""",
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM tb c JOIN tb q
+       |    ON c.table_idx = q.table_idx AND c.bucket = q.bucket
+       |   AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+       |),
+       |scored AS (
+       |  SELECT q_id, n_id, ${cosSql("eq.v", "en.v")} AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id
+       |),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q32 oracle: LSH-bucketed candidate pairs -> exact cosine filter. */
+  def cosinePairsOracle(threshold: Double): String =
+    embQuantCte + ",\n" + lshBucketsCte() + s""",
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM tb a JOIN tb b
+       |    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cosine
+       |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |WHERE ${cosSql("ea.v", "eb.v")} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q27 oracle: md5-lower-64 token-hash SimHash (bit-identical to the
+    * SimHash64Expr kernel), pigeonhole chunk candidates, exact hamming. */
+  def simhashOracle(maxHamming: Int): String = {
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks
+    val mask = (1L << bits) - 1
+    val sums = (0 until 64)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val assemble = (0 until 64).map { b =>
+      val v = java.lang.Long.toUnsignedString(1L << b)
+      s"CASE WHEN COALESCE(s$b, 0) > 0 THEN CAST('$v' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
+    }.mkString("(", "\n    + ", ")")
+    val chunkArms = (0 until nChunks)
+      .map(c => s"  SELECT doc_id, sh64, $c AS chunk_idx, (sh64 >> ${c * bits}) & $mask AS chunk_val FROM sim")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')) AS t
+       |  FROM documents
+       |),
+       |hh AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hh GROUP BY doc_id
+       |),
+       |sim AS (
+       |  SELECT d.doc_id,
+       |    $assemble AS sh64
+       |  FROM documents d LEFT JOIN bitsums USING (doc_id)
+       |),
+       |chunks AS (
+       |$chunkArms
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh64 AS ha, b.sh64 AS hb
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(ha, hb)) <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val stopwordList: String = sqlList(graft.operators.TextAnalysis.stopwordsEn)
 

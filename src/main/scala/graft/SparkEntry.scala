@@ -17,6 +17,18 @@ object SparkEntry {
 
   private val cfg = PipelineConfig.default
 
+  /** q25 hot-shingle document-frequency cap (applied identically in the
+    * oracle SQL): shingles shared by more than this many docs are dropped
+    * before the inverted-index self-join. */
+  private val MaxShingleDf = 20
+
+  /** q13 config: a cap small enough to bind on the test data plus two
+    * config-driven metric labels (attributes_as_metric_labels). */
+  private val Q13Cfg = PipelineConfig.default.copy(
+    limitPerService = 5,
+    captureAttributesInMetric = Seq("call_service", "call_method")
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_routing")(spark, "/root/testdata/sf0.001")
@@ -110,6 +122,18 @@ object SparkEntry {
         .select("request_context").distinct()
         .withColumn("prom_name", graft.functions.Norm.promName(col("request_context")))
         .orderBy("request_context")),
+    // G5/G6 the full-label latency histogram with the metric-path
+    // cardinality cap binding (limit 5) and config-driven labels
+    // (metric_helper.go:85-183, metrics.go:79-103)
+    "q13_metric_capped" -> ((s, dir) => {
+      val labelCols = Q13Cfg.captureAttributesInMetric.map(graft.functions.Norm.promName)
+      val order = Seq("asserts_env", "asserts_site", "namespace", "service", "span_kind",
+        "status_code") ++ labelCols ++ Seq("asserts_request_type", "asserts_request_context",
+        "asserts_error_type", "le")
+      Aggregates
+        .cappedLabeledHistogram(enriched(s, dir), Q13Cfg)
+        .orderBy(order.map(col): _*)
+    }),
 
     // ---- training-data pipeline operators (documents / embeddings) ----
     "q20_dedup_exact" -> ((s, dir) =>
@@ -123,13 +147,13 @@ object SparkEntry {
     "q24_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
     "q25_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), w = 3, minJaccard = 0.05)
+      Dedup.ngramJaccardPairs(docs(s, dir), w = 3, minJaccard = 0.05, maxDocFreq = MaxShingleDf)
         .orderBy("doc_a", "doc_b")),
     "q26_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), w = 3, minEstimate = 0.5)
         .orderBy("doc_a", "doc_b")),
-    // SimHash near-dups via native codegen expression (rows-only check;
-    // equivalence vs jaccard near-dups asserted in DocOpsSpec)
+    // SimHash near-dups via native codegen expression (md5-lower-64 token
+    // hash — bit-identical to the DuckDB md5_number_lower oracle)
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 6)
         .orderBy("doc_a", "doc_b")),
@@ -139,13 +163,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("q_id", "rank")
     }),
-    // ANN: LSH-bucketed approximate variant (rows-only check; recall
-    // asserted vs brute force in SimilaritySpec)
+    // ANN: LSH-bucketed approximate variant — oracle reproduces bucket
+    // assignment from the same quantized hyperplane constants
     "q31_ann_lsh" -> ((s, dir) => {
       val emb = embs(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("q_id", "rank")
     }),
+    // cosine near-dups via LSH-bucketed candidates + exact verify (the
+    // round-1 all-pairs cartesian is gone; oracle is bucket-aware)
     "q32_cosine_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b"))
@@ -223,6 +249,12 @@ object SparkEntry {
          |) ORDER BY service, le""".stripMargin
     },
 
+    "q13_metric_capped" -> OracleSql.cappedHistogramOracle(
+      limit = Q13Cfg.limitPerService,
+      extraLabels = Q13Cfg.captureAttributesInMetric,
+      buckets = Q13Cfg.histogramBuckets
+    ),
+
     // ---- training-data pipeline oracles ----
     "q12_turn_gap" -> Transcripts.oracle(
       """SELECT conv_id, turn_idx,
@@ -282,14 +314,19 @@ object SparkEntry {
         |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |      FROM documents) ORDER BY doc_id""".stripMargin,
     "q25_jaccard_pairs" ->
-      (OracleSql.docShinglesCte + """,
+      (OracleSql.docShinglesCte + s""",
         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |hot AS (
+        |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM inv GROUP BY 1)
+        |  WHERE df > $MaxShingleDf
+        |),
+        |inv2 AS (SELECT * FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |),
-        |sizes AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_sh FROM sh)
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM inv2 GROUP BY 1)
         |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
         |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
         |FROM pairs
@@ -323,14 +360,8 @@ object SparkEntry {
         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
         |           FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
-    "q32_cosine_pairs" ->
-      (OracleSql.embQuantCte + """
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v)
-        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+    "q27_simhash_pairs" -> OracleSql.simhashOracle(maxHamming = 6),
+    "q31_ann_lsh" -> OracleSql.annLshOracle(k = 5),
+    "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4)
   )
 }

@@ -15,10 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Used for near-duplicate detection: documents whose SimHashes differ in
   * <= k bits are near-dup candidates (pair by hamming-ball buckets or by
   * sorted rotations at corpus scale).
+  *
+  * The token hash is md5-lower-64 (DuckDB `md5_number_lower` parity) so
+  * the q27 oracle reproduces the hash bit-for-bit; [[fnv1a64]] is the
+  * faster swap-in when cross-engine verification is not needed.
   */
 object SimHash {
 
-  /** FNV-1a 64-bit over a token's bytes — fast, dependency-free, stable. */
+  /** FNV-1a 64-bit over a token's bytes — fast, dependency-free, stable.
+    * The pure-speed token hash; not reproducible in DuckDB SQL (checked
+    * 64-bit multiply overflow), so [[simhash64]] defaults to [[md5Lower64]]
+    * for oracle parity. Swap the call inside simhash64 for this when
+    * cross-engine verification is not required. */
   def fnv1a64(bytes: Array[Byte], start: Int, end: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = start
@@ -26,6 +34,26 @@ object SimHash {
       h ^= (bytes(i) & 0xffL)
       h *= 0x100000001b3L
       i += 1
+    }
+    h
+  }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lower 64 bits of md5 over a byte range: digest bytes 8..15 read
+    * little-endian — exactly DuckDB's `md5_number_lower`, making every
+    * token hash (and thus the SimHash) reproducible in the oracle. */
+  def md5Lower64(bytes: Array[Byte], start: Int, end: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, start, end - start)
+    val d = md.digest()
+    var h = 0L
+    var i = 15
+    while (i >= 8) {
+      h = (h << 8) | (d(i) & 0xffL)
+      i -= 1
     }
     h
   }
@@ -41,7 +69,7 @@ object SimHash {
       val isSpace = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\n' || bytes(i) == '\r'
       if (!isSpace && tokenStart < 0) tokenStart = i
       if (isSpace && tokenStart >= 0) {
-        val h = fnv1a64(bytes, tokenStart, i)
+        val h = md5Lower64(bytes, tokenStart, i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1

@@ -107,6 +107,96 @@ object Aggregates {
     raw.withColumn("cumulative_count", sum("bucket_count").over(cumW))
   }
 
+  /** Metric-series cardinality guard: rank of each (service_key,
+    * request_context) by first-seen event time — the batch re-expression
+    * of the reference's per-service TTL'd request-context cache
+    * (metric_helper.go:85-141): metrics are captured only for the first
+    * `LimitPerService` distinct request contexts per service; over-cap
+    * contexts are dropped from the metric path ("Too many request
+    * contexts", metric_helper.go:134-139).
+    *
+    * Scale shape: the rank runs over the DISTINCT (service_key, request
+    * context) dim — a partial-aggregable groupBy, tiny output — never a
+    * window over span rows; the join back is broadcast-sized whenever the
+    * cap is meaningful (the whole point is that contexts-per-service is
+    * bounded).
+    */
+  def metricContextRank(enriched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    enriched
+      .filter(col("span_class") =!= "internal")
+      .groupBy("service_key", "request_context")
+      .agg(min(col("ts")).as("ctx_first_ts"))
+      .withColumn(
+        "ctx_rank",
+        dense_rank().over(
+          Window.partitionBy("service_key").orderBy(col("ctx_first_ts"), col("request_context"))
+        )
+      )
+      .select("service_key", "request_context", "ctx_rank")
+  }
+
+  /** The reference's latency histogram with its FULL label set and the
+    * cardinality cap applied (metrics.go:79-103 registration,
+    * metric_helper.go:143-183 label building, :85-141 capping):
+    * base labels env/site/namespace/service + span_kind (our span_class)
+    * + status_code, then the config-driven `attributes_as_metric_labels`
+    * columns, then the asserts request_type / request_context /
+    * error_type attributes (getAttributesAsLabels, metric_helper.go:74-82).
+    * Label names are prom-normalized; a configured attribute with no
+    * corresponding column (or a NULL value) contributes "" — the span ->
+    * resource -> "" fallback of buildLabels ends at "" (our flat enriched
+    * relation already carries resource attrs as columns, so column
+    * presence IS the fallback).
+    *
+    * `captureMetrics = false` disables the histogram entirely
+    * (config.go `capture_metrics`; processor gate) — an empty relation
+    * with the same schema.
+    */
+  def cappedLabeledHistogram(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default
+  ): DataFrame = {
+    val buckets = cfg.histogramBuckets
+    val leExpr = buckets.reverse.foldLeft(lit(Double.PositiveInfinity)) {
+      case (acc, bound) => when(col("latency_secs") <= bound, lit(bound)).otherwise(acc)
+    }
+    def strLabel(name: String): Column =
+      if (enriched.columns.contains(name)) coalesce(col(name).cast("string"), lit(""))
+      else lit("")
+    val extra = cfg.captureAttributesInMetric.map(n => graft.functions.Norm.promName(n) -> strLabel(n))
+    val labels: Seq[(String, Column)] =
+      Seq(
+        "asserts_env" -> col("env"),
+        "asserts_site" -> col("site"),
+        "namespace" -> col("namespace"),
+        "service" -> col("service"),
+        "span_kind" -> col("span_class"),
+        "status_code" -> strLabel("status_code")
+      ) ++ extra ++ Seq(
+        "asserts_request_type" -> strLabel("request_type"),
+        "asserts_request_context" -> strLabel("request_context"),
+        "asserts_error_type" -> strLabel("error_type")
+      )
+    val capped = enriched
+      .filter(col("span_class") =!= "internal")
+      .join(metricContextRank(enriched), Seq("service_key", "request_context"))
+      .filter(col("ctx_rank") <= cfg.limitPerService)
+    val gated = if (cfg.captureMetrics) capped else capped.filter(lit(false))
+    val raw = gated
+      .withColumn("le", leExpr)
+      .groupBy(col("le") +: labels.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("bucket_count"))
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window
+      .partitionBy(labels.map(l => col(l._1)): _*)
+      .orderBy("le")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    raw
+      .withColumn("cumulative_count", sum("bucket_count").over(cumW))
+      .select(labels.map(l => col(l._1)) ++ Seq(col("le"), col("bucket_count"), col("cumulative_count")): _*)
+  }
+
   /** All metric tables as ONE long-format relation (metric_name, label
     * columns, value) — the shape of the reference's single Prometheus
     * scrape endpoint (metrics_exporter.go:22-56), and one write instead

@@ -33,7 +33,11 @@ object Dedup {
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
   }
 
-  /** Word w-shingles (w-grams joined by single spaces), distinct. */
+  /** Word w-shingles (w-grams joined by single spaces), distinct — the
+    * row-level expression form. NOTE: higher-order functions are
+    * interpreted (no whole-stage codegen) and re-evaluate the token split
+    * per lambda element; prefer [[shingleDf]] for anything that scans
+    * real data — it tokenizes each document exactly once. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
@@ -47,19 +51,67 @@ object Dedup {
     )
   }
 
-  /** Exact n-gram Jaccard similarity for all candidate pairs that share at
-    * least one shingle. The inverted-index join (explode -> self-join on
-    * shingle) bounds the pair space to docs with overlap; at scale the
-    * hot shingles (stop-phrase grams) should be frequency-capped first.
+  /** Distinct (doc_id, shingle) rows via ONE tokenization pass: posexplode
+    * the token array (split runs once per document, codegen'd), then build
+    * each w-gram from `lead` over (doc_id, pos). Output equals
+    * `explode(shingles(text, w))` but costs O(tokens) instead of the HOF
+    * form's O(tokens * w) interpreted re-splits — the round-1 q25/q26
+    * hotspot (36 s -> ~2 s at sf0.1). The window shuffles on doc_id;
+    * partitions are per-document and bounded by document length.
     */
-  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+  def shingleDf(docs: DataFrame, w: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))
+    )
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until w).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t$o", lead(col("tok"), o).over(win))
+    }
+    val full = leads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*).as("shingle")
+      )
+    // documents with < w tokens contribute one whole-text shingle (possibly
+    // "" for empty docs) — parity with the expression form
+    val short = docs
+      .filter(size(TextAnalysis.tokens(col("text"))) < w)
+      .select(col("doc_id"), concat_ws(" ", TextAnalysis.tokens(col("text"))).as("shingle"))
+    full.unionByName(short).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs that share at
+    * least one shingle. The inverted-index join (shingleDf self-join on
+    * shingle) bounds the pair space to docs with overlap, and shingles
+    * with document frequency above `maxDocFreq` are dropped first — a
+    * stop-phrase gram shared by f documents would otherwise contribute
+    * O(f^2) join rows, the classic quadratic hot-bucket at corpus scale.
+    * The hot-shingle set is tiny by construction (few grams exceed the
+    * cutoff), so the filter is a broadcast anti-join. Jaccard is computed
+    * over the capped shingle sets on both sides (sizes too), keeping the
+    * measure internally consistent and oracle-reproducible.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      w: Int = 3,
+      minJaccard: Double = 0.2,
+      maxDocFreq: Int = 1000
+  ): DataFrame = {
+    val inv = shingleDf(docs, w)
+    val hot = inv
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("shingle")
+    val capped = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
@@ -88,20 +140,19 @@ object Dedup {
   }
 
   /** Per-doc signature table, materialized through a hash aggregation over
-    * exploded shingles: each of the NumHashes md5 evaluations happens
-    * exactly once per (doc, shingle) — the row-level expression form
-    * ([[minhashSignature]]) gets re-evaluated per band and per join side
-    * by downstream operators, a >10x blow-up. The aggregation is also the
-    * scale shape: partial min per partition, tiny (doc_id, 12 hashes)
+    * the one-pass [[shingleDf]]: each of the NumHashes md5 evaluations
+    * happens exactly once per (doc, shingle) — the row-level expression
+    * form ([[minhashSignature]]) gets re-evaluated per band and per join
+    * side by downstream operators, a >10x blow-up. The aggregation is also
+    * the scale shape: partial min per partition, tiny (doc_id, 12 hashes)
     * rows on the shuffle.
     */
   def minhashSigDf(docs: DataFrame, w: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+    shingleDf(docs, w)
       .groupBy("doc_id")
       .agg(
         array(
-          (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s"))))): _*
+          (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("shingle"))))): _*
         ).as("sig")
       )
 

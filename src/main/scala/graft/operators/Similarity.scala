@@ -23,9 +23,11 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen expression ([[graft.functions.VecOps]]); the session must
+    * have it registered (every operator entry point here does). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VecOps.dotq(a, b)
 
   /** Cosine from quantized vectors: int dot / sqrt(int norms). */
   def cosineQ(a: Column, b: Column): Column =
@@ -35,6 +37,7 @@ object Similarity {
     * vectors (excluding itself), ties broken by neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VecOps.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
     val scored = c
@@ -49,21 +52,54 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
-  /** Fixed-seed random hyperplanes for sign-bit LSH. */
-  def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Fixed-seed random hyperplanes with integer milli-unit weights: the
+    * bucket sign test dot(vecQ, planeQ) > 0 is exact integer arithmetic,
+    * so bucket assignment is bit-identical across engines and the DuckDB
+    * oracle can reproduce it from the same literal plane constants
+    * (emitted by [[planesSql]]). */
+  def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Long]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dims)(rnd.nextGaussian())
+    Array.fill(nPlanes, dims)(math.round(rnd.nextGaussian() * 1000))
   }
 
-  /** Sign-bit LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  /** The (table_idx, planes) list shared by every LSH operator and their
+    * oracles — one source of truth for the bucket geometry. */
+  def planeTables(nTables: Int, nPlanes: Int, dims: Int): Seq[(Int, Array[Array[Long]])] =
+    (0 until nTables).map(t => t -> hyperplanes(nPlanes, dims, seed = 42L + t))
+
+  /** Sign-bit LSH bucket id over a QUANTIZED vector: bit j set iff
+    * dot(vecQ, plane_j) > 0 (exact integer dot, native codegen). */
+  def lshBucket(vecQ: Column, planes: Array[Array[Long]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x
-      )
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotQ(vecQ, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** DuckDB expression for one table's bucket id over quantized-vector
+    * column `vExpr` — mirrors [[lshBucket]] exactly (integer dot, sign,
+    * bit-or as sum). */
+  def bucketSql(vExpr: String, planes: Array[Array[Long]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ",", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Per-vector (table_idx, bucket) rows for multi-table LSH: one explode
+    * over the per-table bucket ids; the quantized vector rides along so
+    * downstream exact verification needs no extra join. */
+  def bucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Seq[(Int, Array[Array[Long]])]
+  ): DataFrame = {
+    graft.functions.VecOps.register(df.sparkSession)
+    df.select(
+      col("vec_id").as(idCol),
+      quantize(col("embedding")).as(vecCol),
+      explode(array(tables.map { case (t, planes) =>
+        struct(lit(t).as("table_idx"), lshBucket(quantize(col("embedding")), planes).as("bucket"))
+      }: _*)).as("tb")
+    ).select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
+  }
 
   /** LSH-bucketed approximate top-k: a candidate must share the query's
     * bucket in at least one of `nTables` independent hyperplane tables
@@ -80,17 +116,9 @@ object Similarity {
       dims: Int = 64,
       nTables: Int = 8
   ): DataFrame = {
-    val tables = (0 until nTables).map(t => t -> hyperplanes(nPlanes, dims, seed = 42L + t))
-    def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.select(
-        col("vec_id").as(idCol),
-        quantize(col("embedding")).as(vecCol),
-        explode(array(tables.map { case (t, planes) =>
-          struct(lit(t).as("table_idx"), lshBucket(col("embedding"), planes).as("bucket"))
-        }: _*)).as("tb")
-      ).select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
-    val c = bucketed(corpus, "n_id", "nv")
-    val q = bucketed(queries, "q_id", "qv")
+    val tables = planeTables(nTables, nPlanes, dims)
+    val c = bucketed(corpus, "n_id", "nv", tables)
+    val q = bucketed(queries, "q_id", "qv", tables)
     val scored = c
       .join(broadcast(q), Seq("table_idx", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -105,11 +133,51 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine >= threshold). Exact
-    * pairwise here; at corpus scale, restrict to LSH-bucket candidates
-    * first (same bucket column as lshTopK).
+  /** Embedding-cosine near-duplicate pairs (cosine >= threshold) through
+    * LSH-bucketed candidate generation + exact verification: a pair is
+    * considered only if it shares a (table_idx, bucket) in at least one
+    * of the `nTables` hyperplane tables, then the exact quantized cosine
+    * filter runs on candidates only. Never all-pairs — the join is an
+    * equi-join on tiny (table, bucket) keys, per-bucket pair generation
+    * bounded by bucket occupancy (the round-1 cartesian was O(n^2) and
+    * 41% of the whole bench). Recall vs the exact form is a tunable
+    * (more tables / fewer planes -> higher recall, more candidates) and
+    * is measured in SimilaritySpec; the oracle reproduces the identical
+    * candidate geometry from the same plane constants.
+    *
+    * [[nearDupPairsExact]] keeps the brute-force form as the small-scale
+    * recall baseline.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def nearDupPairs(
+      corpus: DataFrame,
+      threshold: Double = 0.9,
+      nPlanes: Int = 6,
+      dims: Int = 64,
+      nTables: Int = 8
+  ): DataFrame = {
+    val tables = planeTables(nTables, nPlanes, dims)
+    val b = bucketed(corpus, "vid", "v", tables)
+    b.as("a")
+      .join(
+        b.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid")
+      )
+      .select(
+        col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb")
+      )
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosineQ(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs cosine near-dups — O(n^2), the recall oracle for
+    * [[nearDupPairs]] at test scale only. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+    graft.functions.VecOps.register(corpus.sparkSession)
     val a = corpus.select(col("vec_id").as("id_a"), quantize(col("embedding")).as("va"))
     val b = corpus.select(col("vec_id").as("id_b"), quantize(col("embedding")).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -49,6 +49,31 @@ class DocOpsSpec extends SparkTestBase {
     assert(math.abs(p.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
   }
 
+  test("hot-shingle DF cap drops stop-phrase buckets from the jaccard join") {
+    // 25 docs share one stop phrase (every shared shingle has DF = 25) but
+    // have otherwise-unique text: with the cap the quadratic bucket
+    // disappears entirely; without it, C(25,2) candidate pairs survive.
+    val d = docDf((1L to 25L).map(i =>
+      i -> s"the quick brown fox u$i v$i w$i x$i y$i z$i"): _*)
+    val capped = Dedup.ngramJaccardPairs(d, 3, minJaccard = 0.01, maxDocFreq = 20)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.ngramJaccardPairs(d, 3, minJaccard = 0.01, maxDocFreq = 1000)
+    assert(uncapped.count() == 25L * 24 / 2)
+  }
+
+  test("shingleDf equals the expression form's exploded shingle sets") {
+    val d = docDf(
+      (1L, "a b c d e"),
+      (2L, "a b"),
+      (3L, "x y z x y z x y z") // repeated grams -> distinct matters
+    )
+    val viaDf = Dedup.shingleDf(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaExpr = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaDf == viaExpr)
+  }
+
   test("minhash LSH finds the planted near-duplicates found by exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -134,6 +159,32 @@ class DocOpsSpec extends SparkTestBase {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
     top.unpersist()
+  }
+
+  test("bucketed cosine near-dup pairs: subset of exact; true duplicates found with recall 1.0") {
+    // identical vectors land in identical buckets in every table, so
+    // exact duplicates are guaranteed candidates — recall 1.0 by
+    // construction, the property that matters for dedup
+    val dups = embs.limit(20).withColumn("vec_id", col("vec_id") + 10000L)
+    val corpus = embs.unionByName(dups)
+    val found = Similarity.nearDupPairs(corpus, threshold = 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = embs.limit(20).select("vec_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 10000L)).toSet
+    assert(expected.subsetOf(found), s"missed ${expected.diff(found)}")
+
+    // at a weak-similarity threshold recall is the documented geometry
+    // trade-off (~0.4 expected for 6 planes x 8 tables at cosine 0.4);
+    // candidates are exact-verified so no false positives ever
+    val threshold = 0.4
+    val exact = Similarity.nearDupPairsExact(embs, threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairs(embs, threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain cosine pairs at 0.4")
+    assert(lsh.subsetOf(exact))
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"bucketed near-dup recall $recall (|exact|=${exact.size})")
   }
 
   test("LSH ANN recall vs brute force") {
