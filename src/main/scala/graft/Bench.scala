@@ -47,12 +47,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+      val (ok, sec) = timed {
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
       }
-      results(name) = sec
+      // a failed query reports -1.0 (not its wall time) so regressions in
+      // any driver-contract query are visible in the bench JSON
+      results(name) = if (ok) sec else -1.0
+      if (!ok) errors += name
     }
 
     // end-to-end pipeline over the sf-derived transcripts
@@ -66,10 +74,11 @@ object Bench {
     results("pipeline_gen") = genSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     val tput = (genTurns / genSec).toLong
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput}"""
     )
     spark.stop()
   }

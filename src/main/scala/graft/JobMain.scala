@@ -12,12 +12,26 @@ import graft.sources.{TranscriptGen, Transcripts}
   * Usage:
   *   runMain graft.JobMain --input events:/root/testdata/sf0.01 --out /tmp/job
   *   runMain graft.JobMain --input gen:100000x5 --out /tmp/job \
-  *     [--config cfg.yaml] [--resume] [--cores N]
+  *     [--config cfg.yaml] [--dims dimdir] [--resume] [--cores N]
   */
 object JobMain {
+
+  private val boolFlags = Set("--resume")
+
+  /** Scan-parse: standalone boolean flags anywhere, --key value pairs
+    * elsewhere (sliding-pair parsing mispaired everything after a
+    * mid-position `--resume`). */
+  @annotation.tailrec
+  private def parseArgs(rest: List[String], acc: Map[String, String]): Map[String, String] =
+    rest match {
+      case Nil => acc
+      case f :: tail if boolFlags(f) => parseArgs(tail, acc + (f -> "true"))
+      case k :: v :: tail if k.startsWith("--") => parseArgs(tail, acc + (k -> v))
+      case other => sys.error(s"unparseable args: ${other.mkString(" ")}")
+    }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
-      (if (args.contains("--resume")) Map("--resume" -> "true") else Map.empty)
+    val opts = parseArgs(args.toList, Map.empty)
     val input = opts.getOrElse("--input", "events:/root/testdata/sf0.001")
     val outDir = opts.getOrElse("--out", sys.error("--out required"))
     val cores = opts.getOrElse("--cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -49,7 +63,13 @@ object JobMain {
       case other => sys.error(s"unknown --input ${other.mkString(":")}")
     }
 
-    val out = Pipeline.run(spark, turns, jobCfg)
+    // loadable dimension tables (service/threshold parquet), built-in
+    // constants as the fallback — the per-run REST dim fetch analogue
+    val dims = opts.get("--dims")
+      .map(d => graft.sources.Dims.load(spark, d))
+      .getOrElse(graft.sources.Dims.default)
+
+    val out = Pipeline.run(spark, turns, jobCfg, dims = dims)
     // materialize the cached intermediate once: completes the observation
     // even when --resume skips every write, and primes the fan-out
     out.enriched.count()

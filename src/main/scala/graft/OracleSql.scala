@@ -369,6 +369,20 @@ object OracleSql {
 
   val stopwordList: String = sqlList(graft.operators.TextAnalysis.stopwordsEn)
 
+  /** Synthetic media rows (mirrors Multimodal.syntheticMedia): payload as
+    * a hex string so frame slicing stays byte-aligned in SQL (DuckDB 1.0
+    * has no BLOB substring); unhex at the edges. */
+  val syntheticMediaCte: String =
+    """WITH media AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    CAST(32 + (doc_id % 32) * 8 AS INT) AS width,
+      |    CAST(32 + ((doc_id * 7) % 32) * 8 AS INT) AS height,
+      |    md5(CAST(doc_id AS VARCHAR) || ':0') || md5(CAST(doc_id AS VARCHAR) || ':1')
+      |      || md5(CAST(doc_id AS VARCHAR) || ':2') || md5(CAST(doc_id AS VARCHAR) || ':3') AS hex
+      |  FROM documents
+      |)""".stripMargin
+
   /** DuckDB expression mirroring Norm.promName (utils.go:140-158). */
   def duckPromName(inner: String): String = {
     val base = s"replace($inner, '%', '_percent')"

@@ -48,10 +48,11 @@ object Pipeline {
       spark: SparkSession,
       turns: DataFrame,
       cfg: PipelineConfig = PipelineConfig.default,
-      cache: Boolean = true
+      cache: Boolean = true,
+      dims: graft.sources.Dims.DimTables = graft.sources.Dims.default
   ): PipelineOutputs = {
     val obs = Observation()
-    val enriched0 = Enrich.enriched(turns, spark, cfg)
+    val enriched0 = Enrich.enriched(turns, spark, cfg, dims)
       // prune to the columns routing + aggregates read before caching:
       // the wide payload (text, url, ...) is re-read from the source only
       // by the final sink join, keeping the cached/shuffled rows narrow

@@ -174,7 +174,16 @@ object SparkEntry {
     // round-1 all-pairs cartesian is gone; oracle is bucket-aware)
     "q32_cosine_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), threshold = 0.4)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal plumbing (binary payload columns; md5-derived
+    // synthetic media so the byte contract is oracle-checkable) ----
+    "q40_media_stats" -> ((s, dir) =>
+      graft.operators.Multimodal.syntheticMedia(docs(s, dir)).orderBy("doc_id")),
+    "q41_frame_sample" -> ((s, dir) =>
+      graft.operators.Multimodal
+        .sampleFrames(graft.operators.Multimodal.syntheticMedia(docs(s, dir)), everyNthByte = 32)
+        .orderBy("doc_id", "frame_idx"))
   )
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -362,6 +371,19 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "q27_simhash_pairs" -> OracleSql.simhashOracle(maxHamming = 6),
     "q31_ann_lsh" -> OracleSql.annLshOracle(k = 5),
-    "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4)
+    "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4),
+    "q40_media_stats" ->
+      (OracleSql.syntheticMediaCte + """
+        |SELECT doc_id, media_type, width, height, unhex(hex) AS payload
+        |FROM media ORDER BY doc_id""".stripMargin),
+    "q41_frame_sample" ->
+      (OracleSql.syntheticMediaCte + """
+        |SELECT doc_id, frame_idx,
+        |  unhex(substr(hex, frame_idx * 64 + 1, 64)) AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, hex,
+        |    CAST(unnest(range(0, CAST(floor((octet_length(unhex(hex)) - 1) / 32) AS BIGINT) + 1)) AS INT) AS frame_idx
+        |  FROM media WHERE media_type = 'video'
+        |) ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }

@@ -26,8 +26,12 @@ object Enrich {
     * service/entity keys. Left join: unknown services keep namespace "" and
     * fall back to the svc-only service key (utils.go:9-15).
     */
-  def withServiceDim(turns: DataFrame, spark: SparkSession): DataFrame = {
-    val dim = broadcast(Dims.serviceDf(spark))
+  def withServiceDim(
+      turns: DataFrame,
+      spark: SparkSession,
+      dims: Dims.DimTables = Dims.default
+  ): DataFrame = {
+    val dim = broadcast(dims.serviceDf(spark))
     turns
       .withColumn("service", col("tool"))
       .join(dim, Seq("service"), "left")
@@ -54,8 +58,13 @@ object Enrich {
     * else the entity default row (request_context = ""), else the global
     * config default. Two broadcast left-joins + coalesce.
     */
-  def withThreshold(df: DataFrame, spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val th = Dims.thresholdDf(spark)
+  def withThreshold(
+      df: DataFrame,
+      spark: SparkSession,
+      cfg: PipelineConfig,
+      dims: Dims.DimTables = Dims.default
+  ): DataFrame = {
+    val th = dims.thresholdDf(spark)
     val exact = broadcast(
       th.filter(col("request_context") =!= "")
         .withColumnRenamed("upper_threshold", "threshold_exact")
@@ -91,8 +100,13 @@ object Enrich {
   /** Full parse+enrich stage over raw transcript turns: service-dim join
     * (resource attributes) -> regex parse/rules -> thresholds -> flags.
     */
-  def enriched(turns: DataFrame, spark: SparkSession, cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
-    val parsed = Parse.parsed(withServiceDim(turns, spark))
-    withFlags(withThreshold(parsed, spark, cfg), cfg)
+  def enriched(
+      turns: DataFrame,
+      spark: SparkSession,
+      cfg: PipelineConfig = PipelineConfig.default,
+      dims: Dims.DimTables = Dims.default
+  ): DataFrame = {
+    val parsed = Parse.parsed(withServiceDim(turns, spark, dims))
+    withFlags(withThreshold(parsed, spark, cfg, dims), cfg)
   }
 }

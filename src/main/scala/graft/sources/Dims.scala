@@ -40,35 +40,63 @@ object Dims {
     ThresholdDim(entityKey("dev", "backend", "us-west-2", "api-server"), "/error/v2", 0.2)
   )
 
-  def serviceDf(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.createDataset(services).toDF()
+  /** A loaded pair of dimension tables. Dims are config-sized by contract
+    * (broadcast-join sides), so the driver-side Seq representation also
+    * feeds the oracle VALUES SQL — one source of truth per load. */
+  final case class DimTables(services: Seq[ServiceDim], thresholds: Seq[ThresholdDim]) {
+    def serviceDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(services).toDF()
+    }
+    def thresholdDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(thresholds).toDF()
+    }
+    /** DuckDB VALUES clause for the service dim. */
+    def serviceValuesSql: String =
+      services
+        .map(s => s"(${sqlStr(s.service)}, ${sqlStr(s.namespace)}, ${sqlStr(s.env)}, ${sqlStr(s.site)})")
+        .mkString("(SELECT * FROM (VALUES ", ", ", ") AS t(service, namespace, env, site))")
+    /** DuckDB VALUES clause for the threshold dim. */
+    def thresholdValuesSql: String =
+      thresholds
+        .map(t => s"(${sqlStr(t.entity_key)}, ${sqlStr(t.request_context)}, CAST(${t.upper_threshold} AS DOUBLE))")
+        .mkString("(SELECT * FROM (VALUES ", ", ", ") AS t(entity_key, request_context, upper_threshold))")
   }
 
-  def thresholdDf(spark: SparkSession): DataFrame = {
+  /** Built-in deterministic dims — the no-`--dims` fallback. */
+  val default: DimTables = DimTables(services, thresholds)
+
+  /** Load dims from `<dir>/services.parquet` and `<dir>/thresholds.parquet`
+    * — the batch analogue of the reference's per-run REST fetch
+    * (asserts_client.go:14-17, thresholds.go:57-122). A missing file
+    * falls back to the built-in table (startup-merge semantics: remote
+    * wins only when present, factory.go:69-82). Schemas:
+    * services(service, namespace, env, site),
+    * thresholds(entity_key, request_context, upper_threshold). */
+  def load(spark: SparkSession, dir: String): DimTables = {
     import spark.implicits._
-    spark.createDataset(thresholds).toDF()
+    def tryRead[T: org.apache.spark.sql.Encoder](path: String, cols: Seq[String]): Option[Seq[T]] =
+      if (new java.io.File(path).exists())
+        Some(spark.read.parquet(path).select(cols.head, cols.tail: _*).as[T].collect().toSeq)
+      else None
+    DimTables(
+      tryRead[ServiceDim](s"$dir/services.parquet", Seq("service", "namespace", "env", "site"))
+        .getOrElse(services),
+      tryRead[ThresholdDim](s"$dir/thresholds.parquet", Seq("entity_key", "request_context", "upper_threshold"))
+        .getOrElse(thresholds)
+    )
   }
+
+  def serviceDf(spark: SparkSession): DataFrame = default.serviceDf(spark)
+
+  def thresholdDf(spark: SparkSession): DataFrame = default.thresholdDf(spark)
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** DuckDB VALUES clause for the service dim, aliased `service_dim`. */
-  def serviceValuesSql: String =
-    services
-      .map(s => s"(${sqlStr(s.service)}, ${sqlStr(s.namespace)}, ${sqlStr(s.env)}, ${sqlStr(s.site)})")
-      .mkString(
-        "(SELECT * FROM (VALUES ",
-        ", ",
-        ") AS t(service, namespace, env, site))"
-      )
+  /** DuckDB VALUES clause for the built-in service dim. */
+  def serviceValuesSql: String = default.serviceValuesSql
 
-  /** DuckDB VALUES clause for the threshold dim, aliased `threshold_dim`. */
-  def thresholdValuesSql: String =
-    thresholds
-      .map(t => s"(${sqlStr(t.entity_key)}, ${sqlStr(t.request_context)}, CAST(${t.upper_threshold} AS DOUBLE))")
-      .mkString(
-        "(SELECT * FROM (VALUES ",
-        ", ",
-        ") AS t(entity_key, request_context, upper_threshold))"
-      )
+  /** DuckDB VALUES clause for the built-in threshold dim. */
+  def thresholdValuesSql: String = default.thresholdValuesSql
 }

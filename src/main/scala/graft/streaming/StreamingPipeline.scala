@@ -28,20 +28,37 @@ import graft.model.PipelineConfig
 object StreamingPipeline {
 
   /** Continuous variant: run the full batch pipeline per micro-batch and
-    * fan out to the per-sink directories. */
+    * fan out to the per-sink directories.
+    *
+    * Config + dims are RE-READ inside foreachBatch on every micro-batch —
+    * the streaming analogue of the reference's one-minute config/threshold
+    * refresh tickers (config_refresh.go:28-84, thresholds.go:57-122):
+    * editing the YAML at `configPath` or the dim parquet under `dimsDir`
+    * between batches changes the next batch's routing without a restart.
+    * Static `cfg` is the fallback when no path is given.
+    */
   def start(
       spark: SparkSession,
       turnsStream: DataFrame,
       outDir: String,
       cfg: PipelineConfig = PipelineConfig.default,
-      flushSeconds: Int = 30
+      flushSeconds: Int = 30,
+      configPath: Option[String] = None,
+      dimsDir: Option[String] = None
   ): StreamingQuery =
     turnsStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(Trigger.ProcessingTime(s"$flushSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = Pipeline.run(spark, batch, cfg)
+        val batchCfg = configPath
+          .map(p => graft.ConfigLoader.fromYaml(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(p))).pipeline)
+          .getOrElse(cfg)
+        val batchDims = dimsDir
+          .map(d => graft.sources.Dims.load(spark, d))
+          .getOrElse(graft.sources.Dims.default)
+        val out = Pipeline.run(spark, batch, batchCfg, dims = batchDims)
         Pipeline.writeSinks(out, s"$outDir/batch_$batchId")
         ()
       }

@@ -59,4 +59,67 @@ class StreamingSpec extends SparkTestBase {
     assert(errors.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c2"))
     assert(slow.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c1"))
   }
+
+  test("config hot-refresh: a threshold change between micro-batches changes routing") {
+    // mirrors config_refresh.go:28-84 listener semantics: the YAML is
+    // re-read per batch, so the same turn routes 'normal' under a high
+    // threshold and 'slow' after the file is overwritten
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val cfgPath = java.nio.file.Paths.get(dir, "cfg.yaml")
+    def writeCfg(threshold: Double): Unit =
+      java.nio.file.Files.writeString(
+        cfgPath,
+        s"""asserts_processor:
+           |  sampling_latency_threshold_seconds: $threshold
+           |""".stripMargin
+      )
+    writeCfg(10.0) // nothing is slow
+    val input = MemoryStream[graft.model.Turn]
+    val q = StreamingPipeline.start(
+      spark, input.toDF(), dir, flushSeconds = 1, configPath = Some(cfgPath.toString))
+    try {
+      input.addData(turn("c1", 0, "user", "web", durMs = 700, tSecs = 10))
+      q.processAllAvailable()
+      writeCfg(0.2) // now 700ms is slow
+      input.addData(turn("c2", 0, "user", "web", durMs = 700, tSecs = 7200))
+      q.processAllAvailable()
+    } finally q.stop()
+    val b0 = spark.read.parquet(s"$dir/batch_0/sinks")
+      .select("conv_id", "sample_type").collect().map(r => (r.getString(0), r.getString(1)))
+    val b1 = spark.read.parquet(s"$dir/batch_1/sinks")
+      .select("conv_id", "sample_type").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(b0.toSeq == Seq("c1" -> "normal"))
+    assert(b1.toSeq == Seq("c2" -> "slow"))
+  }
+
+  test("dim hot-refresh: a threshold-dim change between micro-batches changes routing") {
+    // the thresholds.go:57-122 sync analogue: dim parquet re-read per batch
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimrefresh").toString
+    val dimDir = s"$dir/dims"
+    val entity = graft.sources.Dims.entityKey("dev", "frontend", "us-west-2", "web")
+    def writeDims(threshold: Double): Unit = {
+      import spark.implicits._
+      spark.createDataset(Seq(graft.sources.Dims.ThresholdDim(entity, "", threshold)))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dimDir/thresholds.parquet")
+    }
+    writeDims(10.0)
+    val input = MemoryStream[graft.model.Turn]
+    val q = StreamingPipeline.start(
+      spark, input.toDF(), dir, flushSeconds = 1, dimsDir = Some(dimDir))
+    try {
+      input.addData(turn("c1", 0, "user", "web", durMs = 700, tSecs = 10))
+      q.processAllAvailable()
+      writeDims(0.2)
+      input.addData(turn("c2", 0, "user", "web", durMs = 700, tSecs = 7200))
+      q.processAllAvailable()
+    } finally q.stop()
+    val b0 = spark.read.parquet(s"$dir/batch_0/sinks")
+      .select("conv_id", "sample_type").collect().map(r => (r.getString(0), r.getString(1)))
+    val b1 = spark.read.parquet(s"$dir/batch_1/sinks")
+      .select("conv_id", "sample_type").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(b0.toSeq == Seq("c1" -> "normal"))
+    assert(b1.toSeq == Seq("c2" -> "slow"))
+  }
 }
