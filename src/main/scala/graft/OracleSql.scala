@@ -325,10 +325,10 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** q27 oracle: md5-lower-64 token-hash SimHash (bit-identical to the
-    * SimHash64Expr kernel), pigeonhole chunk candidates, exact hamming. */
+    * SimHash64Expr kernel), 2-chunk-agreement multi-index candidates
+    * (mirrors Dedup.simhashChunkCombos), exact hamming. */
   def simhashOracle(maxHamming: Int): String = {
-    val nChunks = maxHamming + 1
-    val bits = 64 / nChunks
+    val (bits, combos) = graft.operators.Dedup.simhashChunkCombos(maxHamming)
     val mask = (1L << bits) - 1
     val sums = (0 until 64)
       .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -337,8 +337,10 @@ object OracleSql {
       val v = java.lang.Long.toUnsignedString(1L << b)
       s"CASE WHEN COALESCE(s$b, 0) > 0 THEN CAST('$v' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
     }.mkString("(", "\n    + ", ")")
-    val chunkArms = (0 until nChunks)
-      .map(c => s"  SELECT doc_id, sh64, $c AS chunk_idx, (sh64 >> ${c * bits}) & $mask AS chunk_val FROM sim")
+    val chunkArms = combos
+      .map { case (i, j) =>
+        s"  SELECT doc_id, sh64, $i AS c1, $j AS c2, (sh64 >> ${i * bits}) & $mask AS v1, (sh64 >> ${j * bits}) & $mask AS v2 FROM sim"
+      }
       .mkString("\n  UNION ALL\n")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '')) AS t
@@ -361,7 +363,7 @@ object OracleSql {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh64 AS ha, b.sh64 AS hb
        |  FROM chunks a JOIN chunks b
-       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(ha, hb)) <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin

@@ -119,7 +119,8 @@ object Pipeline {
       out: PipelineOutputs,
       outDir: String,
       resume: Boolean = false,
-      lineage: Boolean = true
+      lineage: Boolean = true,
+      parallelWrites: Boolean = true
   ): Map[String, Long] = {
     Files.createDirectories(Paths.get(outDir))
     val manifest = Paths.get(outDir, "_lineage.jsonl")
@@ -135,12 +136,13 @@ object Pipeline {
       else Map.empty
 
     val spark = out.routedTurns.sparkSession
-    var wroteAny = false
+    val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val manifestLock = new Object
 
     def writeTarget(name: String, write: String => Unit): Long =
       if (done.contains(name)) done(name)
       else {
-        wroteAny = true
+        wroteAny.set(true)
         val path = s"$outDir/$name"
         write(path)
         if (!lineage) 0L
@@ -152,21 +154,34 @@ object Pipeline {
             .mkString("[", ",", "]")
           val line =
             s"""{"sink": ${jstr(name)}, "rows": $rows, "n_files": ${files.size}, "files": $filesJson}"""
-          Files.writeString(
-            manifest,
-            line + "\n",
-            StandardOpenOption.CREATE, StandardOpenOption.APPEND
-          )
+          manifestLock.synchronized {
+            Files.writeString(
+              manifest,
+              line + "\n",
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND
+            )
+          }
           rows
         }
       }
+
+    // The two sink families are INDEPENDENT actions over the shared cached
+    // intermediates, so submit them concurrently (a thread per action —
+    // the standard multi-sink pattern): the scheduler interleaves their
+    // stages and driver-side planning/commit of one overlaps executor work
+    // of the other, shrinking the job's serial (non-scaling) term.
+    // Cached partitions are computed once regardless — the block manager
+    // serializes concurrent fills per partition.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
 
     // routed turns: ONE partitioned write fans out all three sinks
     // (sink=errors/slow/normal directories). Hash-repartition by
     // (sink, conv_id) + sortWithinPartitions keeps every conversation's
     // turns contiguous and in stable (conv_id, turn_idx) order per file
     // without a global range sort.
-    writeTarget(
+    def writeSinksTarget(): Long = writeTarget(
       "sinks",
       path =>
         out.routedTurns
@@ -174,18 +189,9 @@ object Pipeline {
           .sortWithinPartitions("conv_id", "turn_idx")
           .write.mode("overwrite").partitionBy("sink").parquet(path)
     )
-    val sinkCounts =
-      if (!lineage) Seq.empty
-      else {
-        val perSink = spark.read.parquet(s"$outDir/sinks")
-          .groupBy("sink").count().collect()
-          .map(r => s"sink_${r.getString(0)}" -> r.getLong(1)).toMap
-        Seq("errors", "slow", "normal").map(s => s"sink_$s" -> perSink.getOrElse(s"sink_$s", 0L))
-      }
-
     // all metric tables in one long-format write (one action, one sink
     // table — the Prometheus-endpoint shape)
-    val metricsRows = writeTarget(
+    def writeMetricsTarget(): Long = writeTarget(
       "metrics",
       path =>
         Aggregates
@@ -194,11 +200,31 @@ object Pipeline {
             out.redRollup, out.latencyHistogram)
           .write.mode("overwrite").parquet(path)
     )
+    val metricsRows =
+      if (parallelWrites) {
+        val sinksF = Future(writeSinksTarget())
+        val metricsF = Future(writeMetricsTarget())
+        val m = Await.result(metricsF, Duration.Inf)
+        Await.result(sinksF, Duration.Inf)
+        m
+      } else {
+        writeSinksTarget()
+        writeMetricsTarget()
+      }
+
+    val sinkCounts =
+      if (!lineage) Seq.empty
+      else {
+        val perSink = spark.read.parquet(s"$outDir/sinks")
+          .groupBy("sink").count().collect()
+          .map(r => s"sink_${r.getString(0)}" -> r.getLong(1)).toMap
+        Seq("errors", "slow", "normal").map(s => s"sink_$s" -> perSink.getOrElse(s"sink_$s", 0L))
+      }
     val counts = sinkCounts ++ Seq("metrics" -> metricsRows)
 
     // stage metrics observed on the enriched pass — only read when a write
     // actually executed the plan (Observation.get blocks otherwise)
-    if (wroteAny) {
+    if (wroteAny.get()) {
       val obsJson = out.observation.getAsJava
       val metrics = scala.jdk.CollectionConverters.MapHasAsScala(obsJson).asScala
         .map { case (k, v) => s"${jstr(k)}: $v" }

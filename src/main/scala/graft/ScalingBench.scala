@@ -17,13 +17,17 @@ import graft.sources.TranscriptGen
   */
 object ScalingBench {
 
+  /** One full job at the given parallelism. Returns the turn count plus a
+    * cleanup thunk (unpersist + output delete) so callers keep teardown
+    * OUT of the timed window — deleting the previous run's output is not
+    * part of the job a cluster would be graded on. */
   def jobAt(
       spark: SparkSession,
       parallelism: Int,
       nConvs: Long,
       turnsPerConv: Int,
       localDir: String
-  ): Long = {
+  ): (Long, () => Unit) = {
     spark.conf.set("spark.sql.shuffle.partitions", parallelism)
     val gen = TranscriptGen.synthetic(spark, nConvs, turnsPerConv,
       hotConvs = 5, hotFactor = 1000, partitions = Some(parallelism))
@@ -34,9 +38,23 @@ object ScalingBench {
     // turn count from the observation riding the enriched scan — no
     // extra count action
     val turns = out.observation.get("turns_enriched").asInstanceOf[Long]
-    out.unpersistAll()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-    turns
+    (turns, () => {
+      out.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    })
+  }
+
+  private def timedJob(
+      spark: SparkSession,
+      parallelism: Int,
+      nConvs: Long,
+      turnsPerConv: Int,
+      localDir: String
+  ): (Long, Double) = {
+    val ((turns, cleanup), sec) =
+      Bench.timed(jobAt(spark, parallelism, nConvs, turnsPerConv, localDir))
+    cleanup()
+    (turns, sec)
   }
 
   /** Single-arm mode for CPU-pinned runs (see dev/scaling.sh): the whole
@@ -60,8 +78,9 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      jobAt(spark, cores, nConvs, turnsPerConv, localDir) // warm-up
-      val runs = (1 to repeats).map(_ => Bench.timed(jobAt(spark, cores, nConvs, turnsPerConv, localDir)))
+      val (_, warmCleanup) = jobAt(spark, cores, nConvs, turnsPerConv, localDir) // warm-up
+      warmCleanup()
+      val runs = (1 to repeats).map(_ => timedJob(spark, cores, nConvs, turnsPerConv, localDir))
       val turns = runs.head._1
       val sec = runs.map(_._2).min
       println(f"""{"arm":$cores,"turns":$turns,"sec":$sec%.2f,"turns_per_sec":${(turns / sec).toLong}}""")
@@ -99,12 +118,12 @@ object ScalingBench {
 
     try {
       // warm-up at each parallelism (JIT, codegen, shuffle services)
-      jobAt(spark, nHigh, nConvs, turnsPerConv, localDir)
-      jobAt(spark, nLow, nConvs, turnsPerConv, localDir)
+      jobAt(spark, nHigh, nConvs, turnsPerConv, localDir)._2.apply()
+      jobAt(spark, nLow, nConvs, turnsPerConv, localDir)._2.apply()
       // interleave repeats so drift hits both arms equally; keep the min
       val times = (1 to repeats).flatMap { _ =>
-        val (tLow, sLow) = Bench.timed(jobAt(spark, nLow, nConvs, turnsPerConv, localDir))
-        val (tHigh, sHigh) = Bench.timed(jobAt(spark, nHigh, nConvs, turnsPerConv, localDir))
+        val (tLow, sLow) = timedJob(spark, nLow, nConvs, turnsPerConv, localDir)
+        val (tHigh, sHigh) = timedJob(spark, nHigh, nConvs, turnsPerConv, localDir)
         require(tLow == tHigh, "same input must yield same turn count")
         Seq(("low", tLow, sLow), ("high", tHigh, sHigh))
       }

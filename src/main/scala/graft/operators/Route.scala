@@ -199,7 +199,13 @@ object Route {
 
     // Top-K retention: error queue, and the shared slow queue (slow +
     // normal), each per (entity, request), keep K highest-latency.
-    // Same spreader trick for unqueued rows.
+    // Same spreader trick for unqueued rows: masked rows get a per-conv
+    // partition key so no fat NULL window partition forms, and the whole
+    // conv relation passes the window shuffle exactly once. (A
+    // filter/union split that keeps masked rows out of the shuffle was
+    // measured 2x SLOWER end-to-end — the union's two arms traverse the
+    // conv-level subtree twice and AQE exchange reuse does not recover
+    // the second window + join execution.)
     val queueW = Window
       .partitionBy(col("entity_key"), col("request_context"), col("queue_class"), col("queue_spread"))
       .orderBy(col("latency").desc, col("conv_id"))

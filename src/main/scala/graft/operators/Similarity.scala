@@ -56,7 +56,7 @@ object Similarity {
     * bucket sign test dot(vecQ, planeQ) > 0 is exact integer arithmetic,
     * so bucket assignment is bit-identical across engines and the DuckDB
     * oracle can reproduce it from the same literal plane constants
-    * (emitted by [[planesSql]]). */
+    * (emitted by [[bucketSql]]). */
   def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Long]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dims)(math.round(rnd.nextGaussian() * 1000))

@@ -56,6 +56,46 @@ class AggregatesSpec extends SparkTestBase {
     hist.unpersist()
   }
 
+  test("capped labeled histogram: over-cap contexts dropped, config labels present, missing label -> empty") {
+    // mirrors metric_helper_test.go:15-59 (label build: configured attr
+    // present -> value, absent -> "") and :108-141 (cap: only the first
+    // LimitPerService distinct request contexts per service get metrics)
+    val capCfg = cfg.copy(
+      limitPerService = 1,
+      captureAttributesInMetric = Seq("call_service", "no.such.attr")
+    )
+    val hist = Aggregates.cappedLabeledHistogram(enriched, capCfg).cache()
+    val cols = hist.columns.toSet
+    assert(Set("asserts_env", "asserts_site", "span_kind", "status_code",
+      "call_service", "no_such_attr", "asserts_request_type",
+      "asserts_request_context", "asserts_error_type").subsetOf(cols))
+    // unknown configured attribute -> "" for every series
+    assert(hist.select("no_such_attr").distinct().collect().map(_.getString(0)).toSeq == Seq(""))
+    // with limit 1, exactly one request context per (namespace, service)
+    val perSvc = hist.select("namespace", "service", "asserts_request_context").distinct()
+      .groupBy("namespace", "service").count().collect()
+    assert(perSvc.nonEmpty && perSvc.forall(_.getLong(2) == 1L))
+    // and it is the FIRST-SEEN context for that service key
+    val firstSeen = enriched.filter(col("span_class") =!= "internal")
+      .groupBy("service_key", "request_context").agg(min("ts").as("t"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("service_key")
+          .orderBy(col("t"), col("request_context"))))
+      .filter(col("rn") === 1)
+      .select("service_key", "request_context").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val captured = enriched.select("service_key", "namespace", "service").distinct()
+      .join(hist.select("namespace", "service", "asserts_request_context").distinct(),
+        Seq("namespace", "service"))
+      .select("service_key", "asserts_request_context").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(captured == firstSeen)
+    // capture_metrics = false -> empty, same schema
+    val off = Aggregates.cappedLabeledHistogram(enriched, capCfg.copy(captureMetrics = false))
+    assert(off.columns.sameElements(hist.columns) && off.count() == 0)
+    hist.unpersist()
+  }
+
   test("histogram buckets: latency lands in the smallest bucket >= value") {
     val t = turnsDf(Seq(
       turn("c1", 0, "user", "api-server", 5), // 0.005 -> le 0.005
