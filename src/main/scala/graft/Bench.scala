@@ -18,6 +18,7 @@ object Bench {
     out.traceCounts.count()
     out.sampledTraceCounts.count()
     out.spanCounts.count()
+    out.sampledSpanCounts.count()
     out.redRollup.count()
     out.latencyHistogram.count()
     out.unpersistAll()

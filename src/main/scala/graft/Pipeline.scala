@@ -31,6 +31,7 @@ final case class PipelineOutputs(
     traceCounts: DataFrame,
     sampledTraceCounts: DataFrame,
     spanCounts: DataFrame,
+    sampledSpanCounts: DataFrame,
     redRollup: DataFrame,
     latencyHistogram: DataFrame,
     observation: Observation
@@ -82,6 +83,7 @@ object Pipeline {
       traceCounts = Aggregates.traceCounts(routing),
       sampledTraceCounts = Aggregates.sampledTraceCounts(routing),
       spanCounts = Aggregates.spanCountsFrom(rollup),
+      sampledSpanCounts = Aggregates.sampledSpanCounts(enriched, routing),
       redRollup = Aggregates.redRollupFrom(rollup),
       latencyHistogram = Aggregates.latencyHistogramFrom(rollup),
       observation = obs
@@ -197,7 +199,7 @@ object Pipeline {
         Aggregates
           .prometheusTable(
             out.traceCounts, out.sampledTraceCounts, out.spanCounts,
-            out.redRollup, out.latencyHistogram)
+            out.redRollup, out.latencyHistogram, out.sampledSpanCounts)
           .write.mode("overwrite").parquet(path)
     )
     val metricsRows =

@@ -94,6 +94,12 @@ object SparkEntry {
       Aggregates
         .spanCounts(enriched(s, dir))
         .orderBy("env", "site", "namespace", "service")),
+    // G4 sampled span counters (metrics.go:48-52, trace.go:46-52: ALL
+    // spans of flushed conversations, internal included)
+    "q14_sampled_span_counts" -> ((s, dir) =>
+      Aggregates
+        .sampledSpanCounts(enriched(s, dir), routing(s, dir))
+        .orderBy("env", "site", "namespace", "service")),
     // G5 RED rollups per tumbling window
     "q09_red" -> ((s, dir) =>
       Aggregates
@@ -258,6 +264,13 @@ object SparkEntry {
          |) ORDER BY service, le""".stripMargin
     },
 
+    "q14_sampled_span_counts" -> OracleSql.routingQuery(
+      """SELECT e.env, e.site, e.namespace, e.service,
+        |  CAST(count(*) AS BIGINT) AS sampled_span_count
+        |FROM enr e JOIN (SELECT conv_id FROM routing WHERE kept) r
+        |  ON e.conv_id = r.conv_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+    ),
     "q13_metric_capped" -> OracleSql.cappedHistogramOracle(
       limit = Q13Cfg.limitPerService,
       extraLabels = Q13Cfg.captureAttributesInMetric,

@@ -107,6 +107,20 @@ object Aggregates {
     raw.withColumn("cumulative_count", sum("bucket_count").over(cumW))
   }
 
+  /** `asserts_span_sampled_count_total{env, site, namespace, service}` —
+    * spans of SAMPLED (flushed) conversations, ALL span classes including
+    * internal (metrics.go:48-52 registration; incrSampledCounts ->
+    * incrSpanCount over segment.getSpanCount which counts entry + exit +
+    * internal + root, metrics.go:143-146,168-184, trace.go:46-52).
+    * The kept-conversation id set is tiny (top-K output), so the join is
+    * broadcast-sized by construction.
+    */
+  def sampledSpanCounts(enriched: DataFrame, routing: DataFrame): DataFrame =
+    enriched
+      .join(routing.filter(col("kept")).select("conv_id"), Seq("conv_id"))
+      .groupBy("env", "site", "namespace", "service")
+      .agg(count(lit(1)).as("sampled_span_count"))
+
   /** Metric-series cardinality guard: rank of each (service_key,
     * request_context) by first-seen event time — the batch re-expression
     * of the reference's per-service TTL'd request-context cache
@@ -209,7 +223,8 @@ object Aggregates {
       sampledCounts: DataFrame,
       spanCounts: DataFrame,
       red: DataFrame,
-      histogram: DataFrame
+      histogram: DataFrame,
+      sampledSpanCounts: DataFrame = null
   ): DataFrame = {
     val n = lit(null).cast("string")
     val nl = lit(null).cast("long")
@@ -247,6 +262,12 @@ object Aggregates {
         service = col("service"), requestContext = col("request_context"), winStart = col("win_start_us")))
       .unionByName(shape(histogram, "otel_span_latency_seconds_bucket", col("cumulative_count"),
         service = col("service"), le = col("le")))
+      .unionByName(
+        Option(sampledSpanCounts)
+          .map(ssc => shape(ssc, "asserts_span_sampled_count_total", col("sampled_span_count"),
+            env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service")))
+          .getOrElse(shape(spanCounts.filter(lit(false)), "asserts_span_sampled_count_total", col("span_count"),
+            env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service"))))
   }
 
   /** Direct (single-table) forms, kept for API completeness. */
