@@ -324,6 +324,39 @@ object OracleSql {
        |WHERE ${cosSql("ea.v", "eb.v")} >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q33 oracle: IVF top-k (mirrors Similarity.ivfTopK — fixed centroid
+    * vectors, nearest-centroid inverted lists, nProbe query probing). */
+  def ivfOracle(k: Int, nCentroids: Int, nProbe: Int): String =
+    embQuantCte + s""",
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca AS (
+       |  SELECT n_id, nv, c_id FROM (
+       |    SELECT e.vec_id AS n_id, e.v AS nv, c.c_id,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM e, cent c
+       |  ) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT e.vec_id AS q_id, e.v AS qv, c.c_id,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM e, cent c WHERE e.vec_id < 5
+       |  ) WHERE rn <= $nProbe
+       |),
+       |scored AS (
+       |  SELECT q.q_id, a.n_id, ${cosSql("q.qv", "a.nv")} AS cosine
+       |  FROM qp q JOIN ca a ON q.c_id = a.c_id AND q.q_id <> a.n_id
+       |),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   /** q27 oracle: md5-lower-64 token-hash SimHash (bit-identical to the
     * SimHash64Expr kernel), 2-chunk-agreement multi-index candidates
     * (mirrors Dedup.simhashChunkCombos), exact hamming. */

@@ -181,6 +181,12 @@ object SparkEntry {
     "q32_cosine_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // ANN: IVF coarse-quantizer variant (inverted lists + nProbe probing)
+    "q33_ann_ivf" -> ((s, dir) => {
+      val emb = embs(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
     // synthetic media so the byte contract is oracle-checkable) ----
@@ -384,6 +390,7 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "q27_simhash_pairs" -> OracleSql.simhashOracle(maxHamming = 6),
     "q31_ann_lsh" -> OracleSql.annLshOracle(k = 5),
+    "q33_ann_ivf" -> OracleSql.ivfOracle(k = 5, nCentroids = 16, nProbe = 4),
     "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4),
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """

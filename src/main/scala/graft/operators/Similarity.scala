@@ -133,6 +133,63 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to multi-table LSH: corpus vectors are assigned to their
+    * nearest of `nCentroids` coarse-quantizer centroids (the inverted
+    * lists); each query probes its `nProbe` nearest centroids and scans
+    * only those lists. Centroids here are the first `nCentroids` corpus
+    * vectors — deterministic and oracle-reproducible; a real deployment
+    * trains k-means offline and loads the centroid table as a dim (the
+    * structure, partitioning, and probing are identical).
+    *
+    * Scale shape: the centroid table is broadcast; corpus assignment is a
+    * map-side nested-loop against the broadcast plus a partial-aggregable
+    * min-of-struct groupBy (only |corpus| rows shuffle, not |corpus| x C);
+    * the candidate join is an equi-join on c_id, so each query scans
+    * nProbe inverted lists, never the full corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.functions.VecOps.register(corpus.sparkSession)
+    val cent = broadcast(
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), quantize(col("embedding")).as("cv"))
+    )
+    // corpus side: single nearest centroid via min-of-struct aggregation
+    val corpusScored = corpus
+      .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
+      .crossJoin(cent)
+      .withColumn("c_cos", cosineQ(col("nv"), col("cv")))
+    val corpusA = corpusScored
+      .groupBy("n_id")
+      .agg(min(struct(negate(col("c_cos")).as("nc"), col("c_id").as("cid"), col("nv").as("v"))).as("b"))
+      .select(col("n_id"), col("b.v").as("nv"), col("b.cid").as("c_id"))
+    // query side: nProbe nearest centroids (queries << corpus -> window ok)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queryP = queries
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(cent)
+      .withColumn("c_cos", cosineQ(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select("q_id", "qv", "c_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    corpusA
+      .join(broadcast(queryP), Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine >= threshold) through
     * LSH-bucketed candidate generation + exact verification: a pair is
     * considered only if it shares a (table_idx, bucket) in at least one

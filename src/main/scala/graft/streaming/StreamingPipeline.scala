@@ -64,6 +64,45 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Event-time windowed RED rollup as a PROPER streaming aggregate:
+    * watermark + tumbling window + partial-aggregable sums, the
+    * Structured Streaming shape of [[graft.operators.Aggregates.redRollup]]
+    * (the reference accumulates the same counters continuously,
+    * metrics.go:138-184). Late turns beyond `latenessMinutes` are dropped
+    * and their windows finalized — state is bounded by (windows in the
+    * watermark horizon) x (service, request_context) cardinality, which
+    * the metric-path cap bounds in turn. Output mode Append emits each
+    * window once, on watermark passage — the at-most-once-per-flush
+    * semantics of the reference's scrape counters.
+    *
+    * Input: a stream with the parsed/enriched columns (ts, service,
+    * request_context, is_error, dur_ms, latency_secs, span_class).
+    */
+  def streamingRedRollup(
+      enrichedStream: DataFrame,
+      windowMinutes: Int = 5,
+      latenessMinutes: Int = 10
+  ): DataFrame =
+    enrichedStream
+      .filter(col("span_class") =!= "internal")
+      .withColumn("ts_event", col("ts").cast("timestamp"))
+      .withWatermark("ts_event", s"$latenessMinutes minutes")
+      .groupBy(
+        window(col("ts_event"), s"$windowMinutes minutes").as("win"),
+        col("service"),
+        col("request_context")
+      )
+      .agg(
+        count(lit(1)).as("requests"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("errors"),
+        (sum(col("dur_ms")).cast("double") / 1000.0).as("duration_sum_secs"),
+        max(col("latency_secs")).as("duration_max_secs")
+      )
+      .select(
+        col("win.start").as("win_start"), col("service"), col("request_context"),
+        col("requests"), col("errors"), col("duration_sum_secs"), col("duration_max_secs")
+      )
+
   /** Cross-batch periodic sampling state for one (entity, request) key. */
   final case class SamplerKey(entity_key: String, request_context: String)
   final case class SamplerCandidate(

@@ -187,6 +187,22 @@ class DocOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"bucketed near-dup recall $recall (|exact|=${exact.size})")
   }
 
+  test("IVF ANN: probing more lists increases recall; nProbe=all is exact") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embs, queries, 5, nCentroids = 16, nProbe = nProbe)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"recall must not drop with more probes ($r2 -> $r8)")
+    // probing ALL lists scans the whole corpus -> exact top-k
+    assert(recallAt(16) == 1.0)
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(embs, queries, 5)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingPipeline
 import graft.streaming.StreamingPipeline.{SampledConv, SamplerCandidate}
@@ -58,6 +59,43 @@ class StreamingSpec extends SparkTestBase {
     val slow = spark.read.parquet(s"$dir/batch_0/sinks/sink=slow")
     assert(errors.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c2"))
     assert(slow.select("conv_id").collect().map(_.getString(0)).toSeq == Seq("c1"))
+  }
+
+  test("watermarked windowed RED rollup: windows finalize on watermark; late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.Turn]
+    val enrichedStream = graft.operators.Parse.parsed(
+      graft.operators.Enrich.withServiceDim(input.toDF(), spark))
+      .withColumn("is_error", col("error_type").isNotNull)
+    val rollup = StreamingPipeline.streamingRedRollup(
+      enrichedStream, windowMinutes = 5, latenessMinutes = 10)
+    val q = rollup.writeStream
+      .format("memory").queryName("red_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two turns in the [0,5) window for web
+      input.addData(
+        turn("c1", 1, "user", "web", durMs = 100, tSecs = 60),
+        turn("c2", 1, "user", "web", durMs = 300, tSecs = 120))
+      q.processAllAvailable()
+      // nothing emitted yet — watermark has not passed the window end
+      assert(spark.table("red_out").count() == 0)
+      // batch 2: event time jumps far ahead -> watermark passes [0,5)
+      input.addData(turn("c3", 1, "user", "web", durMs = 50, tSecs = 3600))
+      q.processAllAvailable()
+      // batch 3: a LATE turn for the already-finalized [0,5) window
+      input.addData(turn("c9", 1, "user", "web", durMs = 999, tSecs = 30))
+      q.processAllAvailable()
+      val rows = spark.table("red_out")
+        .select("win_start", "service", "requests", "errors", "duration_sum_secs")
+        .collect()
+      assert(rows.length == 1) // only the finalized [0,5) window, once
+      val r = rows.head
+      assert(r.getAs[Long]("requests") == 2) // late c9 dropped
+      assert(r.getAs[Long]("errors") == 0)
+      assert(math.abs(r.getAs[Double]("duration_sum_secs") - 0.4) < 1e-9)
+    } finally q.stop()
   }
 
   test("config hot-refresh: a threshold change between micro-batches changes routing") {
