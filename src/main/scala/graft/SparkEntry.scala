@@ -163,6 +163,16 @@ object SparkEntry {
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 6)
         .orderBy("doc_a", "doc_b")),
+    // transitive dup-cluster resolution: connected components over the
+    // q26 minhash-LSH edge set (min-label propagation)
+    "q28_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.duplicateClusters(d, Dedup.minhashLshPairs(d, w = 3, minEstimate = 0.5))
+        .orderBy("doc_id")
+    }),
+    // deterministic hash-based train/val/test split
+    "q29_train_split" -> ((s, dir) =>
+      Dedup.trainSplit(docs(s, dir)).orderBy("doc_id")),
     // ANN: exact brute-force cosine top-k (oracle-checked)
     "q30_ann_topk" -> ((s, dir) => {
       val emb = embs(s, dir)
@@ -376,6 +386,41 @@ object SparkEntry {
         |SELECT doc_a, doc_b, $est AS est_jaccard
         |FROM cand WHERE $est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q28_dup_clusters" -> {
+      // recursive transitive closure over the q26 candidate edge set,
+      // then min reachable id per node (includes self via the base case)
+      val q26Cand = OracleSql.docShinglesCte + s""",
+        |${OracleSql.docMinhashCte},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)""".stripMargin
+      val est = (1 to Dedup.NumHashes)
+        .map(i => s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") / ${Dedup.NumHashes}.0")
+      q26Cand.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $est >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |)
+        |SELECT src AS doc_id, min(dst) AS cluster_id, (src = min(dst)) AS is_canonical
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    },
+    "q29_train_split" ->
+      """SELECT doc_id,
+        |  CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+        |        & CAST(9223372036854775807 AS UBIGINT)) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+        |             & CAST(9223372036854775807 AS UBIGINT)) % 100 < 90 THEN 'train'
+        |       WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+        |             & CAST(9223372036854775807 AS UBIGINT)) % 100 < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_ann_topk" ->
       (OracleSql.embQuantCte + """,
         |q AS (SELECT * FROM e WHERE vec_id < 5),

@@ -235,6 +235,87 @@ object Dedup {
 
   private def bitCount(c: Column): Column = call_function("bit_count", c)
 
+  /** Transitive duplicate clusters: connected components over a near-dup
+    * edge set (any of the pair operators here) via min-label propagation —
+    * the step a real dedup pipeline needs to pick ONE survivor per group
+    * when near-duplication is transitive (A~B, B~C but not A~C directly).
+    *
+    * Scale shape: the standard big-graph CC loop — each round is one
+    * partial-aggregable groupBy(min) over the symmetric edge list joined
+    * to current labels, converging in O(component diameter) rounds
+    * (near-dup components are shallow); convergence is checked with a
+    * count per round (a scalar action, no driver-side data). Labels are
+    * cached per round so lineage does not re-execute prior rounds.
+    *
+    * Returns (doc_id, cluster_id = min doc_id in the component,
+    * is_canonical).
+    */
+  def duplicateClusters(docs: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(
+          labels.select(col("doc_id").as("dst"), col("label").as("nlabel")),
+          Seq("dst")
+        )
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nlabel").as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = updated
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(
+      col("doc_id"),
+      col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical")
+    )
+  }
+
+  /** Deterministic hash-based train/validation/test assignment: bucket =
+    * (md5lower64(doc_id ':' salt) & Long.MaxValue) % 100 — stable under
+    * re-runs, re-partitioning, and corpus growth (a document never
+    * changes split when others are added), the property random splits
+    * lack. The hash is the native [[graft.functions.Hash64]] expression,
+    * bit-identical to DuckDB's md5_number_lower, and the sign mask makes
+    * signed/unsigned modulo agree across engines.
+    */
+  def trainSplit(
+      docs: DataFrame,
+      salt: String = "split",
+      pctTrain: Int = 90,
+      pctValidation: Int = 5
+  ): DataFrame = {
+    graft.functions.Hash64.register(docs.sparkSession)
+    val bucket = pmod(
+      graft.functions.Hash64
+        .md5lower64(concat(col("doc_id").cast("string"), lit(":" + salt)))
+        .bitwiseAND(lit(Long.MaxValue)),
+      lit(100L)
+    )
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < pctTrain, "train")
+        .when(bucket < pctTrain + pctValidation, "validation")
+        .otherwise("test")
+        .as("split")
+    )
+  }
+
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard =
     * fraction of equal signature components. Pairs sharing >=1 band
     * bucket; estimate >= minEstimate.

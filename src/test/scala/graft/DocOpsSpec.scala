@@ -98,6 +98,36 @@ class DocOpsSpec extends SparkTestBase {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("duplicate clusters: transitive chains collapse to the min doc id") {
+    // edges form a chain 1-2, 2-3 (1 and 3 never pair directly) plus an
+    // isolated pair 10-11 and a singleton 20
+    val d = docDf((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (20L, "f"))
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(d, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((1L, false))) // transitive: reached via 2
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+    assert(got(20L) == ((20L, true)))
+  }
+
+  test("train split: deterministic, stable under corpus growth, ~90/5/5") {
+    val splits = Dedup.trainSplit(docs).cache()
+    val again = Dedup.trainSplit(docs)
+    assert(splits.except(again).count() == 0) // deterministic
+    // a document's split never changes when the corpus grows
+    val half = Dedup.trainSplit(docs.filter(col("doc_id") < 250))
+    val full = splits.filter(col("doc_id") < 250)
+    assert(half.except(full).count() == 0)
+    val byCat = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byCat.values.sum.toDouble
+    assert(byCat("train") / n > 0.8 && byCat("train") / n < 0.97)
+    assert(byCat.keySet == Set("train", "validation", "test"))
+    splits.unpersist()
+  }
+
   test("simhash: identical text -> distance 0; near-dup text -> small distance") {
     val d = docDf(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
