@@ -224,6 +224,23 @@ object OracleSql {
     )
   }
 
+  /** Metric-path cardinality cap over `enr` (mirrors the fineRollup cap:
+    * first LimitPerService distinct request contexts per (namespace,
+    * service) in first-seen order; over-cap contexts emit no metrics). */
+  val cappedEnrCte: String =
+    s"""ctxrank AS (
+       |  SELECT namespace, service, request_context,
+       |    dense_rank() OVER (PARTITION BY namespace, service ORDER BY ctx_first_ts, request_context) AS ctx_rank
+       |  FROM (SELECT namespace, service, request_context, min(ts) AS ctx_first_ts
+       |        FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2, 3)
+       |),
+       |capped_enr AS (
+       |  SELECT e.* FROM enr e JOIN ctxrank m
+       |    ON e.namespace = m.namespace AND e.service = m.service
+       |   AND e.request_context = m.request_context
+       |  WHERE e.span_class <> 'internal' AND m.ctx_rank <= ${cfg.limitPerService}
+       |)""".stripMargin
+
   /** Assemble an oracle query: transcripts CTE + the given fragments +
     * final SELECT body. */
   def query(body: String, fragments: String*): String =
@@ -231,6 +248,7 @@ object OracleSql {
 
   def parsedQuery(body: String): String = query(body, parsedCte)
   def enrichedQuery(body: String): String = query(body, parsedCte, enrichedCte)
+  def cappedEnrQuery(body: String): String = query(body, parsedCte, enrichedCte, cappedEnrCte)
   def routingQuery(body: String): String = query(body, parsedCte, enrichedCte, routingCte)
 
   // ---- documents / embeddings oracle fragments (training-data ops) ----

@@ -82,7 +82,11 @@ object Pipeline {
       fineRollup = rollup,
       traceCounts = Aggregates.traceCounts(routing),
       sampledTraceCounts = Aggregates.sampledTraceCounts(routing),
-      spanCounts = Aggregates.spanCountsFrom(rollup),
+      // NOT derived from the rollup: the reference caps the metric
+      // (histogram) path but counts EVERY consumed span (metrics.go
+      // incrTotalCounts at sampler.go:115), so span counts read the
+      // uncapped enriched relation directly
+      spanCounts = Aggregates.spanCounts(enriched),
       sampledSpanCounts = Aggregates.sampledSpanCounts(enriched, routing),
       redRollup = Aggregates.redRollupFrom(rollup),
       latencyHistogram = Aggregates.latencyHistogramFrom(rollup),

@@ -257,17 +257,17 @@ object SparkEntry {
         |GROUP BY env, site, namespace, service
         |ORDER BY env, site, namespace, service""".stripMargin
     ),
-    "q09_red" -> OracleSql.enrichedQuery(
+    "q09_red" -> OracleSql.cappedEnrQuery(
       s"""SELECT (epoch_us(ts) // ${5L * 60L * 1000000L}) * ${5L * 60L * 1000000L} AS win_start_us,
          |  service, request_context,
          |  CAST(count(*) AS BIGINT) AS requests,
          |  CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
          |  CAST(sum(dur_ms) AS DOUBLE) / 1000.0 AS duration_sum_secs,
          |  max(latency_secs) AS duration_max_secs
-         |FROM enr WHERE span_class <> 'internal'
+         |FROM capped_enr
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     ),
-    "q10_histogram" -> OracleSql.enrichedQuery {
+    "q10_histogram" -> OracleSql.cappedEnrQuery {
       val buckets = cfg.histogramBuckets
       val leCase = buckets
         .map(b => s"WHEN latency_secs <= $b THEN CAST($b AS DOUBLE)")
@@ -276,7 +276,7 @@ object SparkEntry {
          |  CAST(sum(bucket_count) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cumulative_count
          |FROM (
          |  SELECT service, $leCase AS le, CAST(count(*) AS BIGINT) AS bucket_count
-         |  FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2
+         |  FROM capped_enr GROUP BY 1, 2
          |) ORDER BY service, le""".stripMargin
     },
 

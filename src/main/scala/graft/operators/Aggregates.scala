@@ -57,8 +57,31 @@ object Aggregates {
     val leExpr = buckets.reverse.foldLeft(lit(Double.PositiveInfinity)) {
       case (acc, bound) => when(col("latency_secs") <= bound, lit(bound)).otherwise(acc)
     }
-    enriched
+    // metric-series cardinality cap (metric_helper.go:85-141): only the
+    // first LimitPerService distinct request contexts per (namespace,
+    // service) are measured — over-cap contexts produce NO metric rows,
+    // exactly like the reference's full TTL cache refusing new entries.
+    // The rank dim is a partial-aggregable groupBy over the distinct
+    // (namespace, service, request_context) space, broadcast back.
+    import org.apache.spark.sql.expressions.Window
+    val ctxRank = enriched
       .filter(col("span_class") =!= "internal")
+      .groupBy("namespace", "service", "request_context")
+      .agg(min(col("ts")).as("ctx_first_ts"))
+      .withColumn(
+        "ctx_rank",
+        dense_rank().over(
+          Window.partitionBy("namespace", "service").orderBy(col("ctx_first_ts"), col("request_context"))
+        )
+      )
+      .filter(col("ctx_rank") <= cfg.limitPerService)
+      .select("namespace", "service", "request_context")
+    val gated =
+      if (!cfg.captureMetrics) enriched.filter(lit(false))
+      else enriched
+    gated
+      .filter(col("span_class") =!= "internal")
+      .join(broadcast(ctxRank), Seq("namespace", "service", "request_context"))
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
       .withColumn("le", leExpr)
       .groupBy("win_start_us", "env", "site", "namespace", "service", "request_context", "le")

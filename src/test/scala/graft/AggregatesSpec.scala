@@ -96,6 +96,23 @@ class AggregatesSpec extends SparkTestBase {
     hist.unpersist()
   }
 
+  test("fineRollup metric cap: over-cap request contexts emit no metric rows; captureMetrics=false disables") {
+    val tight = cfg.copy(limitPerService = 1)
+    val rollup = Aggregates.fineRollup(enriched, tight)
+    val perSvc = rollup.select("namespace", "service", "request_context").distinct()
+      .groupBy("namespace", "service").count().collect()
+    assert(perSvc.nonEmpty && perSvc.forall(_.getLong(2) == 1L))
+    // uncapped config covers every non-internal (svc, ctx) combination
+    val full = Aggregates.fineRollup(enriched, cfg)
+    val allCtx = enriched.filter(col("span_class") =!= "internal")
+      .select("namespace", "service", "request_context").distinct().count()
+    assert(full.select("namespace", "service", "request_context").distinct().count() == allCtx)
+    // span counts are NOT capped (incrTotalCounts counts every span)
+    assert(Aggregates.spanCounts(enriched).agg(sum("span_count")).collect().head.getLong(0)
+      == enriched.filter(col("span_class") =!= "internal").count())
+    assert(Aggregates.fineRollup(enriched, cfg.copy(captureMetrics = false)).count() == 0)
+  }
+
   test("histogram buckets: latency lands in the smallest bucket >= value") {
     val t = turnsDf(Seq(
       turn("c1", 0, "user", "api-server", 5), // 0.005 -> le 0.005
