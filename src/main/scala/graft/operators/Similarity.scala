@@ -82,9 +82,14 @@ object Similarity {
       s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ",", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Per-vector (table_idx, bucket) rows for multi-table LSH: one explode
-    * over the per-table bucket ids; the quantized vector rides along so
-    * downstream exact verification needs no extra join. */
+  /** Per-vector (table_idx, bucket) rows for multi-table LSH: quantize
+    * ONCE per vector in a projection BELOW the explode (Generate is a
+    * projection-collapse barrier, so the interpreted quantize HOF is not
+    * re-inlined into every bucket expression — inlined it evaluates
+    * 48x per row), then explode the table index and compute the matching
+    * table's bucket from the materialized quantized column with native
+    * dot products. The quantized vector rides along so downstream exact
+    * verification needs no extra join. */
   def bucketed(
       df: DataFrame,
       idCol: String,
@@ -92,13 +97,15 @@ object Similarity {
       tables: Seq[(Int, Array[Array[Long]])]
   ): DataFrame = {
     graft.functions.VecOps.register(df.sparkSession)
-    df.select(
-      col("vec_id").as(idCol),
-      quantize(col("embedding")).as(vecCol),
-      explode(array(tables.map { case (t, planes) =>
-        struct(lit(t).as("table_idx"), lshBucket(quantize(col("embedding")), planes).as("bucket"))
-      }: _*)).as("tb")
-    ).select(col(idCol), col(vecCol), col("tb.table_idx"), col("tb.bucket"))
+    val bucketByTable = tables.tail.foldLeft(lshBucket(col(vecCol), tables.head._2)) {
+      case (acc, (t, planes)) => when(col("table_idx") === t, lshBucket(col(vecCol), planes)).otherwise(acc)
+    }
+    df.select(col("vec_id").as(idCol), quantize(col("embedding")).as(vecCol))
+      .select(
+        col(idCol), col(vecCol),
+        explode(array(tables.map(t => lit(t._1)): _*)).as("table_idx")
+      )
+      .withColumn("bucket", bucketByTable)
   }
 
   /** LSH-bucketed approximate top-k: a candidate must share the query's
