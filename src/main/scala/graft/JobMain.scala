@@ -30,11 +30,14 @@ object JobMain {
       case other => sys.error(s"unparseable args: ${other.mkString(" ")}")
     }
 
-  def main(args: Array[String]): Unit = {
+  /** The whole job against a provided session — separated from [[main]]
+    * so tests can drive the full CLI path (args -> config -> dims ->
+    * pipeline -> sinks -> JSON) without owning session lifecycle.
+    * Returns the result JSON line. */
+  def run(args: Array[String], spark: SparkSession): String = {
     val opts = parseArgs(args.toList, Map.empty)
     val input = opts.getOrElse("--input", "events:/root/testdata/sf0.001")
     val outDir = opts.getOrElse("--out", sys.error("--out required"))
-    val cores = opts.getOrElse("--cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val resume = opts.contains("--resume")
 
     val jobCfg: PipelineConfig = opts.get("--config") match {
@@ -43,17 +46,6 @@ object JobMain {
         ConfigLoader.fromYaml(java.nio.file.Files.readString(java.nio.file.Paths.get(path))).pipeline
       case None => PipelineConfig.default
     }
-
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-job")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val turns = input.split(":", 2) match {
       case Array("events", dir) => Transcripts.fromEvents(spark, dir)
@@ -79,8 +71,24 @@ object JobMain {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val obsJson = obs.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"job":"graft","out":"$outDir","resume":$resume,"sink_counts":$countsJson,"observed":$obsJson}""")
     out.unpersistAll()
+    s"""{"job":"graft","out":"$outDir","resume":$resume,"sink_counts":$countsJson,"observed":$obsJson}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    val cores = opts.getOrElse("--cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-job")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(args, spark))
     spark.stop()
   }
 }
