@@ -77,9 +77,14 @@ object ConfigLoader {
       requestContextCacheTTLMinutes = num(p, "request_context_cache_ttl_minutes")
         .map(_.toInt).getOrElse(base.requestContextCacheTTLMinutes),
       traceFlushFrequencySeconds = num(p, "trace_flush_frequency_seconds")
-        .map(_.toInt).getOrElse(base.traceFlushFrequencySeconds)
+        .map(_.toInt).getOrElse(base.traceFlushFrequencySeconds),
+      sampleTraces = bool(p, "sample_traces").getOrElse(base.sampleTraces)
     )
-    JobConfig(cfg, parseSpanAttributes(p) ++ parseLegacyRules(p))
+    // span_attributes, when present, REPLACES the legacy block — the
+    // reference compiles one or the other, never both
+    // (span_enrichment.go:43-49 buildCompiledConfig if/else)
+    val spanAttrRules = parseSpanAttributes(p)
+    JobConfig(cfg, if (spanAttrRules.nonEmpty) spanAttrRules else parseLegacyRules(p))
   }
 
   /** Reference span kinds -> transcript span_class domain. */

@@ -75,13 +75,27 @@ object Pipeline {
     // ONE pass over the spans feeds every metric table (rollup tree)
     val rollup0 = Aggregates.fineRollup(enriched, cfg)
     val rollup = if (cache) rollup0.cache() else rollup0
+    // sample_traces = false: the sampler is bypassed — every turn
+    // forwards with sink "forward" and the trace/sampled counters stay
+    // at zero; metric capture is unaffected (processor.go:70-74; the
+    // counters are incremented inside sampleTraces, sampler.go:115)
+    val routedTurns =
+      if (cfg.sampleTraces) Route.routedTurns(turns, routing)
+      else turns
+        .withColumn("sink", lit("forward"))
+        .withColumn("sample_type", lit(null).cast("string"))
+        .withColumn("entity_key", lit(null).cast("string"))
+        .withColumn("request_context", lit(null).cast("string"))
+        .withColumn("latency", lit(null).cast("double"))
+    def ifSampling(df: DataFrame): DataFrame =
+      if (cfg.sampleTraces) df else df.filter(lit(false))
     PipelineOutputs(
       enriched = enriched,
       routing = routing,
-      routedTurns = Route.routedTurns(turns, routing),
+      routedTurns = routedTurns,
       fineRollup = rollup,
-      traceCounts = Aggregates.traceCounts(routing),
-      sampledTraceCounts = Aggregates.sampledTraceCounts(routing),
+      traceCounts = ifSampling(Aggregates.traceCounts(routing)),
+      sampledTraceCounts = ifSampling(Aggregates.sampledTraceCounts(routing)),
       // NOT derived from the rollup: the reference caps the metric
       // (histogram) path but counts EVERY consumed span (metrics.go
       // incrTotalCounts at sampler.go:115), so span counts read the

@@ -55,7 +55,12 @@ final case class PipelineConfig(
     requestContextCacheTTLMinutes: Int = 60,
     /** Flush cadence of the streaming variant (config.go
       * `trace_flush_frequency_seconds`, factory.go default 30). */
-    traceFlushFrequencySeconds: Int = 30
+    traceFlushFrequencySeconds: Int = 30,
+    /** `sample_traces = false` bypasses the sampler entirely: every
+      * conversation forwards unsampled (sink "forward"), and the
+      * trace/sampled counters are not incremented — metrics capture
+      * still runs (processor.go:70-74, sampler.go:115). */
+    sampleTraces: Boolean = true
 )
 
 object PipelineConfig {

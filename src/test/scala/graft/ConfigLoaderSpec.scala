@@ -111,6 +111,26 @@ class ConfigLoaderSpec extends SparkTestBase {
     assert(got("200") == null)
   }
 
+  test("span_attributes present -> legacy custom_attributes ignored (buildCompiledConfig if/else)") {
+    val yaml =
+      """asserts_processor:
+        |  span_attributes:
+        |    - attr_name: request_context
+        |      attr_configs:
+        |        - rules:
+        |            - source_attributes: [url]
+        |              regex: "(.+)"
+        |  custom_attributes:
+        |    error_type:
+        |      default:
+        |        - source_attributes: [status]
+        |          regex: "4.."
+        |          value_expr: client_errors
+        |""".stripMargin
+    val jc = ConfigLoader.fromYaml(yaml)
+    assert(jc.rules.keySet == Set("request_context")) // legacy block dropped
+  }
+
   test("invalid regex fails job submission (Config.Validate semantics)") {
     val bad = yamlNew.replace("https?://.+?((/[^/?]+){1,3}).*", "(unclosed")
     intercept[java.util.regex.PatternSyntaxException](ConfigLoader.fromYaml(bad))

@@ -10,6 +10,18 @@ class PipelineSpec extends SparkTestBase {
 
   private val cfg = PipelineConfig.default
 
+  test("sample_traces=false: pure passthrough, no trace counters, metrics still captured") {
+    import org.apache.spark.sql.functions._
+    val turns = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = Pipeline.run(spark, turns, cfg.copy(sampleTraces = false), cache = false)
+    assert(out.routedTurns.count() == turns.count()) // every turn forwards
+    assert(out.routedTurns.select("sink").distinct().collect().map(_.getString(0)).toSeq == Seq("forward"))
+    assert(out.traceCounts.count() == 0 && out.sampledTraceCounts.count() == 0)
+    // the metric path is unaffected (processor.go captures before sampling)
+    assert(out.latencyHistogram.count() > 0)
+    assert(out.spanCounts.count() > 0)
+  }
+
   test("fan-out writes sinks + metrics with per-file lineage and observed counters") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val turns = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
