@@ -152,6 +152,10 @@ object SparkEntry {
       TextAnalysis.languageId(docs(s, dir)).orderBy("doc_id")),
     "q24_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
+    // winnowing rolling-hash fingerprint sets (MOSS scheme)
+    "q42_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(docs(s, dir), k = 8, w = 4)
+        .orderBy("doc_id", "fp")),
     "q25_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), w = 3, minJaccard = 0.05, maxDocFreq = MaxShingleDf)
         .orderBy("doc_a", "doc_b")),
@@ -311,10 +315,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |      FROM documents) ORDER BY doc_id""".stripMargin,
     "q21_token_stats" ->
-      """SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+      s"""SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
-        |  CAST(greatest(len(toks), len(text) // 4) AS INT) AS n_tokens_bpe_est
-        |FROM (SELECT *, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  CAST(greatest(len(toks), len(text) // 4) AS INT) AS n_tokens_bpe_est,
+        |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.bpeTokenPattern}')) AS INT) AS n_tokens_re
+        |FROM (SELECT *, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
         |      FROM documents) ORDER BY doc_id""".stripMargin,
     "q22_quality" ->
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
@@ -437,6 +442,21 @@ object SparkEntry {
     "q31_ann_lsh" -> OracleSql.annLshOracle(k = 5),
     "q33_ann_ivf" -> OracleSql.ivfOracle(k = 5, nCentroids = 16, nProbe = 4),
     "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4),
+    "q42_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS INT) AS i, text
+        |  FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id, i,
+        |    md5_number_lower(substr(text, i, 8)) & CAST(9223372036854775807 AS UBIGINT) AS hh
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, min(hh) OVER (
+        |    PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM h
+        |) ORDER BY doc_id, fp""".stripMargin,
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, media_type, width, height, unhex(hex) AS payload

@@ -235,6 +235,37 @@ object Dedup {
 
   private def bitCount(c: Column): Column = call_function("bit_count", c)
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every character
+    * k-gram, then keep the minimum hash of each sliding window of w
+    * consecutive k-grams — a document's fingerprint SET, robust to
+    * insertions/reordering in ways whole-document hashing is not, with
+    * guaranteed detection of matches longer than w + k - 1 chars.
+    *
+    * Scale shape: explode positions (Generate), hash each k-gram with the
+    * native md5lower64 expression post-explode (codegen, no interpreted
+    * HOF), per-doc sliding min via a window over (doc_id, i) — bounded by
+    * document length — then distinct. Sign-masked so the DuckDB oracle's
+    * UBIGINT arithmetic agrees.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Hash64.register(docs.sparkSession)
+    val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
+    val grams = docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), nGrams)).as("i"))
+      .select(
+        col("doc_id"), col("i"),
+        graft.functions.Hash64
+          .md5lower64(substring(col("text"), col("i"), lit(k)))
+          .bitwiseAND(lit(Long.MaxValue)).as("hh")
+      )
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min("hh").over(win))
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
   /** Transitive duplicate clusters: connected components over a near-dup
     * edge set (any of the pair operators here) via min-label propagation —
     * the step a real dedup pipeline needs to pick ONE survivor per group

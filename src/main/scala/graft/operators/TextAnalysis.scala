@@ -19,6 +19,12 @@ object TextAnalysis {
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Token statistics: counts + length aggregates per document. */
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, single
+    * other-symbol — the GPT-2 pre-tokenizer shape reduced to DISJOINT
+    * character classes, so Java regex (Spark) and RE2 (DuckDB) agree
+    * exactly (no alternation-ambiguity, no lookahead, which RE2 lacks). */
+  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(
@@ -27,7 +33,9 @@ object TextAnalysis {
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
       // BPE-ish subword estimate: ~1 token per 4 chars, word-boundary capped
-      greatest(size(toks), floor(length(col("text")) / lit(4)).cast("int")).as("n_tokens_bpe_est")
+      greatest(size(toks), floor(length(col("text")) / lit(4)).cast("int")).as("n_tokens_bpe_est"),
+      // BPE-ish regex token count (the pre-tokenizer pass of a real BPE)
+      size(regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0))).as("n_tokens_re")
     )
   }
 

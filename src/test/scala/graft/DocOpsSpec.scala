@@ -98,6 +98,24 @@ class DocOpsSpec extends SparkTestBase {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("winnowing fingerprints: near-dup docs overlap heavily, disjoint docs do not") {
+    val d = docDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // tail edit
+      (3L, "entirely different content with no shared character runs here")
+    )
+    val fps = Dedup.winnowingFingerprints(d, k = 8, w = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]) = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac(fps(1L), fps(2L)) > 0.5, s"near-dups overlap ${jac(fps(1L), fps(2L))}")
+    assert(jac(fps(1L), fps(3L)) < 0.1, s"disjoint overlap ${jac(fps(1L), fps(3L))}")
+    // guarantee: identical docs -> identical fingerprint sets
+    val dupd = docDf((7L, "xyz content"), (8L, "xyz content"))
+    val f2 = Dedup.winnowingFingerprints(dupd, 8, 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(f2(7L) == f2(8L))
+  }
+
   test("duplicate clusters: transitive chains collapse to the min doc id") {
     // edges form a chain 1-2, 2-3 (1 and 3 never pair directly) plus an
     // isolated pair 10-11 and a singleton 20
