@@ -38,7 +38,18 @@ import graft.functions.Rules.AttributeRule
   */
 object ConfigLoader {
 
-  final case class JobConfig(pipeline: PipelineConfig, rules: Rules.RuleTable)
+  /** `specified` records which merge-relevant keys the YAML actually set,
+    * so [[merge]] only lets a remote config override fields it names.
+    * (The reference unmarshals the remote JSON into a zero-valued struct
+    * and copies unconditionally — factory.go:73-82 + config_refresh.go:
+    * 53-57 — which silently resets omitted fields to Go zero values; we
+    * treat "omitted" as "not specified" instead, a documented divergence
+    * that avoids the zero-value reset.) */
+  final case class JobConfig(
+      pipeline: PipelineConfig,
+      rules: Rules.RuleTable,
+      specified: Set[String] = Set.empty
+  )
 
   def fromYaml(yaml: String): JobConfig = {
     val root0 = new Yaml().load[Any](yaml)
@@ -84,7 +95,16 @@ object ConfigLoader {
     // reference compiles one or the other, never both
     // (span_enrichment.go:43-49 buildCompiledConfig if/else)
     val spanAttrRules = parseSpanAttributes(p)
-    JobConfig(cfg, if (spanAttrRules.nonEmpty) spanAttrRules else parseLegacyRules(p))
+    val specified = Seq(
+      "capture_metrics" -> bool(p, "capture_metrics").isDefined,
+      "attributes_as_metric_labels" -> seq(p, "attributes_as_metric_labels").isDefined,
+      "default_latency_threshold" ->
+        num2(p, "default_latency_threshold", "sampling_latency_threshold_seconds").isDefined,
+      "ignore_client_errors" -> bool(p, "ignore_client_errors").isDefined,
+      "latency_histogram_buckets" ->
+        seq(p, "latency_histogram_buckets").exists(_.flatMap(anyNum).nonEmpty)
+    ).collect { case (k, true) => k }.toSet
+    JobConfig(cfg, if (spanAttrRules.nonEmpty) spanAttrRules else parseLegacyRules(p), specified)
   }
 
   /** Reference span kinds -> transcript span_class domain. */
@@ -151,20 +171,32 @@ object ConfigLoader {
   }
 
   /** Startup precedence (factory.go:69-82): `remote` wins for the control
-    * fields; buckets only when the remote list is non-empty. */
-  def merge(local: JobConfig, remote: JobConfig, remoteYamlHadBuckets: Boolean): JobConfig =
+    * fields it actually SETS (see [[JobConfig.specified]]); buckets only
+    * when the remote list is non-empty (factory.go:79-81 length check). */
+  def merge(local: JobConfig, remote: JobConfig): JobConfig = {
+    def has(k: String) = remote.specified.contains(k)
     JobConfig(
       local.pipeline.copy(
-        captureMetrics = remote.pipeline.captureMetrics,
-        captureAttributesInMetric = remote.pipeline.captureAttributesInMetric,
-        defaultLatencyThresholdSecs = remote.pipeline.defaultLatencyThresholdSecs,
-        ignoreClientErrors = remote.pipeline.ignoreClientErrors,
+        captureMetrics =
+          if (has("capture_metrics")) remote.pipeline.captureMetrics
+          else local.pipeline.captureMetrics,
+        captureAttributesInMetric =
+          if (has("attributes_as_metric_labels")) remote.pipeline.captureAttributesInMetric
+          else local.pipeline.captureAttributesInMetric,
+        defaultLatencyThresholdSecs =
+          if (has("default_latency_threshold")) remote.pipeline.defaultLatencyThresholdSecs
+          else local.pipeline.defaultLatencyThresholdSecs,
+        ignoreClientErrors =
+          if (has("ignore_client_errors")) remote.pipeline.ignoreClientErrors
+          else local.pipeline.ignoreClientErrors,
         histogramBuckets =
-          if (remoteYamlHadBuckets) remote.pipeline.histogramBuckets
+          if (has("latency_histogram_buckets")) remote.pipeline.histogramBuckets
           else local.pipeline.histogramBuckets
       ),
-      if (remote.rules.nonEmpty) remote.rules else local.rules
+      if (remote.rules.nonEmpty) remote.rules else local.rules,
+      local.specified ++ remote.specified
     )
+  }
 
   // ---- minimal dynamic-YAML helpers ----
   private def asMap(a: Any): Option[Map[String, Any]] = a match {

@@ -225,18 +225,20 @@ object OracleSql {
   }
 
   /** Metric-path cardinality cap over `enr` (mirrors the fineRollup cap:
-    * first LimitPerService distinct request contexts per (namespace,
-    * service) in first-seen order; over-cap contexts emit no metrics). */
+    * first LimitPerService distinct request contexts per service_key —
+    * getServiceKey, metric_helper.go:87 — in first-seen order; over-cap
+    * contexts emit no metrics). Keyed by service_key, the same key every
+    * cap in the engine now uses (Aggregates.firstSeenRank). */
   val cappedEnrCte: String =
     s"""ctxrank AS (
-       |  SELECT namespace, service, request_context,
-       |    dense_rank() OVER (PARTITION BY namespace, service ORDER BY ctx_first_ts, request_context) AS ctx_rank
-       |  FROM (SELECT namespace, service, request_context, min(ts) AS ctx_first_ts
-       |        FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2, 3)
+       |  SELECT service_key, request_context,
+       |    dense_rank() OVER (PARTITION BY service_key ORDER BY ctx_first_ts, request_context) AS ctx_rank
+       |  FROM (SELECT service_key, request_context, min(ts) AS ctx_first_ts
+       |        FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2)
        |),
        |capped_enr AS (
        |  SELECT e.* FROM enr e JOIN ctxrank m
-       |    ON e.namespace = m.namespace AND e.service = m.service
+       |    ON e.service_key = m.service_key
        |   AND e.request_context = m.request_context
        |  WHERE e.span_class <> 'internal' AND m.ctx_rank <= ${cfg.limitPerService}
        |)""".stripMargin

@@ -59,7 +59,7 @@ object Pipeline {
       // by the final sink join, keeping the cached/shuffled rows narrow
       .select(
         "conv_id", "turn_idx", "service", "namespace", "env", "site",
-        "entity_key", "span_class", "request_context", "latency_secs",
+        "entity_key", "service_key", "span_class", "request_context", "latency_secs",
         "dur_ms", "is_error", "error_routable", "is_slow_span", "threshold", "ts"
       )
       .observe(
@@ -99,9 +99,11 @@ object Pipeline {
       // NOT derived from the rollup: the reference caps the metric
       // (histogram) path but counts EVERY consumed span (metrics.go
       // incrTotalCounts at sampler.go:115), so span counts read the
-      // uncapped enriched relation directly
-      spanCounts = Aggregates.spanCounts(enriched),
-      sampledSpanCounts = Aggregates.sampledSpanCounts(enriched, routing),
+      // uncapped enriched relation directly. ALL four counters live
+      // inside the sampler (sampler.go:115,241,254), which passthrough
+      // mode bypasses entirely — hence the ifSampling gate on each.
+      spanCounts = ifSampling(Aggregates.spanCounts(enriched)),
+      sampledSpanCounts = ifSampling(Aggregates.sampledSpanCounts(enriched, routing)),
       redRollup = Aggregates.redRollupFrom(rollup),
       latencyHistogram = Aggregates.latencyHistogramFrom(rollup),
       observation = obs
@@ -224,8 +226,13 @@ object Pipeline {
       if (parallelWrites) {
         val sinksF = Future(writeSinksTarget())
         val metricsF = Future(writeMetricsTarget())
-        val m = Await.result(metricsF, Duration.Inf)
-        Await.result(sinksF, Duration.Inf)
+        // await BOTH before rethrowing either failure: a detached write
+        // must never outlive this call (the caller may start cleaning up
+        // the output directory on error)
+        val sinksR = scala.util.Try(Await.result(sinksF, Duration.Inf))
+        val metricsR = scala.util.Try(Await.result(metricsF, Duration.Inf))
+        val m = metricsR.get
+        sinksR.get
         m
       } else {
         writeSinksTarget()

@@ -203,12 +203,26 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
-    // synthetic media so the byte contract is oracle-checkable) ----
+    // synthetic media so the byte contract is oracle-checkable). The
+    // payloads ride as raw `binary` through the operators; the QUERY
+    // outputs hex-encode them because the driver's oracle compare hashes
+    // values in pandas, where raw bytes are unhashable — the reference's
+    // byte-bag comparisons are string-typed too (custom_attribute.go:84-86
+    // `.AsString()`). ----
     "q40_media_stats" -> ((s, dir) =>
-      graft.operators.Multimodal.syntheticMedia(docs(s, dir)).orderBy("doc_id")),
+      graft.operators.Multimodal.syntheticMedia(docs(s, dir))
+        .select(
+          col("doc_id"), col("media_type"), col("width"), col("height"),
+          lower(hex(col("payload"))).as("payload_hex")
+        )
+        .orderBy("doc_id")),
     "q41_frame_sample" -> ((s, dir) =>
       graft.operators.Multimodal
         .sampleFrames(graft.operators.Multimodal.syntheticMedia(docs(s, dir)), everyNthByte = 32)
+        .select(
+          col("doc_id"), col("frame_idx"),
+          lower(hex(col("frame_bytes"))).as("frame_hex")
+        )
         .orderBy("doc_id", "frame_idx"))
   )
 
@@ -257,7 +271,7 @@ object SparkEntry {
     ),
     "q08_span_counts" -> OracleSql.enrichedQuery(
       """SELECT env, site, namespace, service, CAST(count(*) AS BIGINT) AS span_count
-        |FROM enr WHERE span_class <> 'internal'
+        |FROM enr
         |GROUP BY env, site, namespace, service
         |ORDER BY env, site, namespace, service""".stripMargin
     ),
@@ -459,12 +473,12 @@ object SparkEntry {
         |) ORDER BY doc_id, fp""".stripMargin,
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
-        |SELECT doc_id, media_type, width, height, unhex(hex) AS payload
+        |SELECT doc_id, media_type, width, height, hex AS payload_hex
         |FROM media ORDER BY doc_id""".stripMargin),
     "q41_frame_sample" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, frame_idx,
-        |  unhex(substr(hex, frame_idx * 64 + 1, 64)) AS frame_bytes
+        |  substr(hex, frame_idx * 64 + 1, 64) AS frame_hex
         |FROM (
         |  SELECT doc_id, hex,
         |    CAST(unnest(range(0, CAST(floor((octet_length(unhex(hex)) - 1) / 32) AS BIGINT) + 1)) AS INT) AS frame_idx

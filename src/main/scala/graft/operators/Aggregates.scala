@@ -30,14 +30,46 @@ object Aggregates {
       .agg(count(lit(1)).as("sampled_count"))
 
   /** `asserts_span_count_total{env, site, namespace, service}`
-    * (metrics.go:148-166) — per-span counters over non-internal spans
-    * (the pipeline enriches/measures only non-internal spans,
-    * trace.go:22-35, processor.go:62). */
+    * (metrics.go:148-166) — per-span counters over ALL spans of consumed
+    * conversations, internal included: incrSpanCount adds
+    * segment.getSpanCount() = entry + exit + internal + root
+    * (trace.go:46-52), the same count the sampled counter uses. */
   def spanCounts(enriched: DataFrame): DataFrame =
     enriched
-      .filter(col("span_class") =!= "internal")
       .groupBy("env", "site", "namespace", "service")
       .agg(count(lit(1)).as("span_count"))
+
+  /** Shared first-seen-rank dim — the ONE implementation of every
+    * cardinality cap in the engine (the reference's metric-path context
+    * cache metric_helper.go:85-141 and the sampler's request cap
+    * service_queue.go:39-75 share the same admit-the-first-K-contexts
+    * shape): rank the DISTINCT (partition, context) combinations of `df`
+    * by earliest `tsCol`, ties broken by context value for determinism.
+    *
+    * Scale shape: a partial-aggregable groupBy over the distinct dim —
+    * never a window over the input rows, which would put every row of a
+    * partition key on one task. Output is (partitionCol, contextCol,
+    * rankName), tiny by construction (the cap only matters when
+    * contexts-per-partition is bounded).
+    */
+  def firstSeenRank(
+      df: DataFrame,
+      partitionCol: String,
+      contextCol: String,
+      tsCol: String,
+      rankName: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(partitionCol, contextCol)
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .withColumn(
+        rankName,
+        dense_rank().over(
+          Window.partitionBy(partitionCol).orderBy(col("__first_ts"), col(contextCol))
+        )
+      )
+      .drop("__first_ts")
+  }
 
   /** Fine-grained shared rollup: ONE scan of the enriched spans, partially
     * aggregated to (window, env, site, namespace, service, request
@@ -46,6 +78,14 @@ object Aggregates {
     * over the span data instead of one per table (rollup-tree; all
     * measures stay integral so the derived tables are bit-identical to
     * direct aggregation).
+    *
+    * The metric-series cardinality cap (metric_helper.go:85-141: only the
+    * first LimitPerService distinct request contexts per service_key are
+    * measured, over-cap contexts emit NO rows) is applied POST-aggregation:
+    * the fine groups carry their min event time, the [[firstSeenRank]] dim
+    * is a re-aggregation of the rollup itself, and Spark reuses the
+    * rollup's shuffle (ReusedExchange) for it — so the cap costs one extra
+    * pass over the tiny aggregate, not a second scan of the span data.
     */
   def fineRollup(
       enriched: DataFrame,
@@ -57,39 +97,29 @@ object Aggregates {
     val leExpr = buckets.reverse.foldLeft(lit(Double.PositiveInfinity)) {
       case (acc, bound) => when(col("latency_secs") <= bound, lit(bound)).otherwise(acc)
     }
-    // metric-series cardinality cap (metric_helper.go:85-141): only the
-    // first LimitPerService distinct request contexts per (namespace,
-    // service) are measured — over-cap contexts produce NO metric rows,
-    // exactly like the reference's full TTL cache refusing new entries.
-    // The rank dim is a partial-aggregable groupBy over the distinct
-    // (namespace, service, request_context) space, broadcast back.
-    import org.apache.spark.sql.expressions.Window
-    val ctxRank = enriched
-      .filter(col("span_class") =!= "internal")
-      .groupBy("namespace", "service", "request_context")
-      .agg(min(col("ts")).as("ctx_first_ts"))
-      .withColumn(
-        "ctx_rank",
-        dense_rank().over(
-          Window.partitionBy("namespace", "service").orderBy(col("ctx_first_ts"), col("request_context"))
-        )
-      )
-      .filter(col("ctx_rank") <= cfg.limitPerService)
-      .select("namespace", "service", "request_context")
     val gated =
       if (!cfg.captureMetrics) enriched.filter(lit(false))
       else enriched
-    gated
+    val raw = gated
       .filter(col("span_class") =!= "internal")
-      .join(broadcast(ctxRank), Seq("namespace", "service", "request_context"))
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
       .withColumn("le", leExpr)
-      .groupBy("win_start_us", "env", "site", "namespace", "service", "request_context", "le")
+      .groupBy("service_key", "win_start_us", "env", "site", "namespace", "service", "request_context", "le")
       .agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"),
         sum(col("dur_ms")).as("dur_ms_sum"),
-        max(col("latency_secs")).as("lat_max")
+        max(col("latency_secs")).as("lat_max"),
+        min(col("ts")).as("ts_min")
+      )
+    val admitted = firstSeenRank(raw, "service_key", "request_context", "ts_min", "ctx_rank")
+      .filter(col("ctx_rank") <= cfg.limitPerService)
+      .select("service_key", "request_context")
+    raw
+      .join(broadcast(admitted), Seq("service_key", "request_context"))
+      .select(
+        "win_start_us", "env", "site", "namespace", "service", "request_context", "le",
+        "n_spans", "n_errors", "dur_ms_sum", "lat_max"
       )
   }
 
@@ -158,20 +188,11 @@ object Aggregates {
     * cap is meaningful (the whole point is that contexts-per-service is
     * bounded).
     */
-  def metricContextRank(enriched: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    enriched
-      .filter(col("span_class") =!= "internal")
-      .groupBy("service_key", "request_context")
-      .agg(min(col("ts")).as("ctx_first_ts"))
-      .withColumn(
-        "ctx_rank",
-        dense_rank().over(
-          Window.partitionBy("service_key").orderBy(col("ctx_first_ts"), col("request_context"))
-        )
-      )
-      .select("service_key", "request_context", "ctx_rank")
-  }
+  def metricContextRank(enriched: DataFrame): DataFrame =
+    firstSeenRank(
+      enriched.filter(col("span_class") =!= "internal"),
+      "service_key", "request_context", "ts", "ctx_rank"
+    )
 
   /** The reference's latency histogram with its FULL label set and the
     * cardinality cap applied (metrics.go:79-103 registration,
@@ -215,15 +236,27 @@ object Aggregates {
         "asserts_request_context" -> strLabel("request_context"),
         "asserts_error_type" -> strLabel("error_type")
       )
-    val capped = enriched
+    // same post-aggregation cap as fineRollup: aggregate first (carrying
+    // group min event time), derive the first-seen dim from the aggregate
+    // (Spark reuses the exchange), then drop over-cap contexts
+    val gated = if (cfg.captureMetrics) enriched else enriched.filter(lit(false))
+    // the cap ranks/joins on the RAW request_context (NULL contexts drop
+    // out of the null-unsafe join, matching the reference's attribute
+    // lookup), while the emitted label coalesces NULL to ""
+    val rawAll = gated
       .filter(col("span_class") =!= "internal")
-      .join(metricContextRank(enriched), Seq("service_key", "request_context"))
-      .filter(col("ctx_rank") <= cfg.limitPerService)
-    val gated = if (cfg.captureMetrics) capped else capped.filter(lit(false))
-    val raw = gated
       .withColumn("le", leExpr)
-      .groupBy(col("le") +: labels.map { case (n, c) => c.as(n) }: _*)
-      .agg(count(lit(1)).as("bucket_count"))
+      .groupBy(
+        col("service_key") +: col("request_context") +: col("le") +:
+          labels.map { case (n, c) => c.as(n) }: _*
+      )
+      .agg(count(lit(1)).as("bucket_count"), min(col("ts")).as("ts_min"))
+    val admitted = firstSeenRank(rawAll, "service_key", "request_context", "ts_min", "ctx_rank")
+      .filter(col("ctx_rank") <= cfg.limitPerService)
+      .select("service_key", "request_context")
+    val raw = rawAll
+      .join(broadcast(admitted), Seq("service_key", "request_context"))
+      .drop("service_key", "request_context", "ts_min")
     import org.apache.spark.sql.expressions.Window
     val cumW = Window
       .partitionBy(labels.map(l => col(l._1)): _*)

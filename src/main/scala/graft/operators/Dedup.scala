@@ -274,18 +274,29 @@ object Dedup {
     * Scale shape: the standard big-graph CC loop — each round is one
     * partial-aggregable groupBy(min) over the symmetric edge list joined
     * to current labels, converging in O(component diameter) rounds
-    * (near-dup components are shallow); convergence is checked with a
-    * count per round (a scalar action, no driver-side data). Labels are
-    * cached per round so lineage does not re-execute prior rounds.
+    * (near-dup components are shallow). The symmetric edge set is
+    * MATERIALIZED once (cache + count) before the loop — the edges
+    * argument is typically an expensive candidate-generation DAG
+    * (minhash-LSH) that must execute once, not once per round. Each
+    * round's labels carry (old, new) side by side so the convergence
+    * check is a filter-count on the cached round output, not an extra
+    * self-join; labels are `localCheckpoint`ed every few rounds so plan
+    * lineage stays bounded no matter how many rounds converge takes.
     *
     * Returns (doc_id, cluster_id = min doc_id in the component,
     * is_canonical).
     */
   def duplicateClusters(docs: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val checkpointEvery = 5
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+      .cache()
+    sym.count() // force ONE execution of the upstream candidate DAG
+    // `cached` is the handle unpersist() must be called on (unpersisting a
+    // projection does not release the cached parent plan)
+    var cached = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -296,19 +307,26 @@ object Dedup {
         )
         .groupBy(col("src").as("doc_id"))
         .agg(min("nlabel").as("nmin"))
-      val updated = labels
+      val updatedBase = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = updated
-        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = updated
+        .select(
+          col("doc_id"),
+          col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")
+        )
+      // truncate lineage periodically: a cache eviction late in the loop
+      // must not replay every prior round
+      val updated =
+        if ((iter + 1) % checkpointEvery == 0) updatedBase.localCheckpoint()
+        else updatedBase.cache()
+      val changed = updated.filter(col("label") =!= col("old_label")).count()
+      cached.unpersist()
+      cached = updated
+      labels = updated.select("doc_id", "label")
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     labels.select(
       col("doc_id"),
       col("label").as("cluster_id"),

@@ -149,23 +149,15 @@ object Route {
 
     // Request-cardinality cap: rank distinct request contexts per entity by
     // first-seen (min main_ts, then request for determinism); requests
-    // ranked beyond the cap drop their conversations.
-    //
-    // Scale shape: the rank runs over the DISTINCT (entity, request) table
-    // (a partial-aggregable groupBy), not over the conv rows — a window
-    // partitioned by entity_key alone would put every conversation of an
-    // entity into one task (5 entities = 5 tasks, zero scaling). The tiny
-    // ranked dim then joins back (AQE picks broadcast when it is small).
-    val requestRank = conv
-      .groupBy("entity_key", "request_context")
-      .agg(min("main_ts").as("request_first_ts"))
-      .withColumn(
-        "request_rank",
-        dense_rank().over(
-          Window.partitionBy("entity_key").orderBy(col("request_first_ts"), col("request_context"))
-        )
-      )
-      .drop("request_first_ts")
+    // ranked beyond the cap drop their conversations. Shares the ONE
+    // first-seen-rank implementation with the metric-path cap
+    // (Aggregates.firstSeenRank — service_queue.go:39-75 and
+    // metric_helper.go:85-141 are the same admit-first-K shape, keyed by
+    // entity here and by service_key there). The rank runs over the
+    // DISTINCT (entity, request) dim, and the tiny ranked dim joins back
+    // (AQE picks broadcast when it is small).
+    val requestRank =
+      Aggregates.firstSeenRank(conv, "entity_key", "request_context", "main_ts", "request_rank")
     val capped = conv
       .join(requestRank, Seq("entity_key", "request_context"))
       .withColumn("request_capped", col("request_rank") > cfg.limitPerService)

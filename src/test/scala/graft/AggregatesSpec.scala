@@ -29,10 +29,14 @@ class AggregatesSpec extends SparkTestBase {
     assert(sampled == routing.filter(col("kept")).count())
   }
 
-  test("span counts cover exactly the non-internal spans") {
+  test("span counts cover every span, internal included (getSpanCount)") {
     val total = Aggregates.spanCounts(enriched)
       .agg(sum("span_count")).collect().head.getLong(0)
-    assert(total == enriched.filter(col("span_class") =!= "internal").count())
+    assert(total == enriched.count())
+    // consistency invariant: sampled span counts can never exceed totals
+    val sampledTotal = Aggregates.sampledSpanCounts(enriched, routing)
+      .agg(sum("sampled_span_count")).collect().head.getLong(0)
+    assert(sampledTotal <= total)
   }
 
   test("RED rollup: requests/errors/duration per window and service") {
@@ -109,7 +113,7 @@ class AggregatesSpec extends SparkTestBase {
     assert(full.select("namespace", "service", "request_context").distinct().count() == allCtx)
     // span counts are NOT capped (incrTotalCounts counts every span)
     assert(Aggregates.spanCounts(enriched).agg(sum("span_count")).collect().head.getLong(0)
-      == enriched.filter(col("span_class") =!= "internal").count())
+      == enriched.count())
     assert(Aggregates.fineRollup(enriched, cfg.copy(captureMetrics = false)).count() == 0)
   }
 

@@ -145,7 +145,7 @@ class ConfigLoaderSpec extends SparkTestBase {
         |  capture_metrics: false
         |  attributes_as_metric_labels: [call_service]
         |""".stripMargin)
-    val merged = ConfigLoader.merge(local, remote, remoteYamlHadBuckets = false)
+    val merged = ConfigLoader.merge(local, remote)
     assert(merged.pipeline.defaultLatencyThresholdSecs == 2.0)
     assert(merged.pipeline.ignoreClientErrors)
     // all 7 factory.go:69-82 precedence fields, incl. the metric ones
@@ -153,6 +153,20 @@ class ConfigLoaderSpec extends SparkTestBase {
     assert(merged.pipeline.captureAttributesInMetric == Seq("call_service"))
     assert(merged.pipeline.histogramBuckets == local.pipeline.histogramBuckets)
     assert(merged.rules == local.rules) // remote had none
+
+    // a remote that OMITS a field must not reset a local explicit value:
+    // only fields the remote actually sets take precedence
+    val localOff = ConfigLoader.fromYaml(
+      """asserts_processor:
+        |  capture_metrics: false
+        |""".stripMargin)
+    val remoteSilent = ConfigLoader.fromYaml(
+      """asserts_processor:
+        |  ignore_client_errors: true
+        |""".stripMargin)
+    val m2 = ConfigLoader.merge(localOff, remoteSilent)
+    assert(!m2.pipeline.captureMetrics) // local explicit false survives
+    assert(m2.pipeline.ignoreClientErrors) // remote-set field wins
   }
 
   test("loaded rules drive the parse stage end-to-end") {

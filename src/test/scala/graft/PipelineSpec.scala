@@ -16,10 +16,12 @@ class PipelineSpec extends SparkTestBase {
     val out = Pipeline.run(spark, turns, cfg.copy(sampleTraces = false), cache = false)
     assert(out.routedTurns.count() == turns.count()) // every turn forwards
     assert(out.routedTurns.select("sink").distinct().collect().map(_.getString(0)).toSeq == Seq("forward"))
+    // ALL four counters increment inside the sampler (sampler.go:115,
+    // 241, 254), which passthrough bypasses — every counter stays empty
     assert(out.traceCounts.count() == 0 && out.sampledTraceCounts.count() == 0)
+    assert(out.spanCounts.count() == 0 && out.sampledSpanCounts.count() == 0)
     // the metric path is unaffected (processor.go captures before sampling)
     assert(out.latencyHistogram.count() > 0)
-    assert(out.spanCounts.count() > 0)
   }
 
   test("fan-out writes sinks + metrics with per-file lineage and observed counters") {
