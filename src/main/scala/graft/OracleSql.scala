@@ -243,6 +243,41 @@ object OracleSql {
        |  WHERE e.span_class <> 'internal' AND m.ctx_rank <= ${cfg.limitPerService}
        |)""".stripMargin
 
+  /** q15 oracle: RED rollup under the TTL-expiring cardinality cap
+    * (mirrors Aggregates.ttlCappedRed — metric_helper.go:91-116 TTL
+    * cache; eviction frees a slot for a later context). Event time tiled
+    * into TTL windows; rank per (service_key, ttl window). */
+  def ttlCappedRedOracle(limit: Int, ttlMinutes: Int, windowMinutes: Int): String = {
+    val ttlMicros = ttlMinutes.toLong * 60L * 1000000L
+    val winMicros = windowMinutes.toLong * 60L * 1000000L
+    val ctes =
+      s"""ttlcap AS (
+         |  SELECT service_key, request_context, ttl_win FROM (
+         |    SELECT service_key, request_context, ttl_win,
+         |      dense_rank() OVER (PARTITION BY service_key, ttl_win
+         |                         ORDER BY ctx_first_ts, request_context) AS ctx_rank
+         |    FROM (SELECT service_key, request_context,
+         |            epoch_us(ts) // $ttlMicros AS ttl_win, min(ts) AS ctx_first_ts
+         |          FROM enr WHERE span_class <> 'internal' GROUP BY 1, 2, 3))
+         |  WHERE ctx_rank <= $limit
+         |),
+         |ttl_enr AS (
+         |  SELECT e.* FROM enr e JOIN ttlcap m
+         |    ON e.service_key = m.service_key AND e.request_context = m.request_context
+         |   AND epoch_us(e.ts) // $ttlMicros = m.ttl_win
+         |  WHERE e.span_class <> 'internal'
+         |)""".stripMargin
+    query(
+      s"""SELECT (epoch_us(ts) // $winMicros) * $winMicros AS win_start_us, service, request_context,
+         |  CAST(count(*) AS BIGINT) AS requests,
+         |  CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         |  CAST(sum(dur_ms) AS DOUBLE) / 1000.0 AS duration_sum_secs,
+         |  max(latency_secs) AS duration_max_secs
+         |FROM ttl_enr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      parsedCte, enrichedCte, ctes
+    )
+  }
+
   /** Assemble an oracle query: transcripts CTE + the given fragments +
     * final SELECT body. */
   def query(body: String, fragments: String*): String =

@@ -29,6 +29,14 @@ object SparkEntry {
     captureAttributesInMetric = Seq("call_service", "call_method")
   )
 
+  /** q15 config: a tight cap (limit 1) with a 4-hour context TTL, so over
+    * the test data's 30-day span contexts are evicted and late contexts
+    * admitted many times (metric_helper.go:91-116 TTL-cache semantics). */
+  private val Q15Cfg = PipelineConfig.default.copy(
+    limitPerService = 1,
+    requestContextCacheTTLMinutes = 240
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_routing")(spark, "/root/testdata/sf0.001")
@@ -110,6 +118,13 @@ object SparkEntry {
       Aggregates
         .latencyHistogram(enriched(s, dir), cfg)
         .orderBy("service", "le")),
+    // G6 TTL-expiring cardinality cap: RED rollup where a request context
+    // idle for a full TTL window is evicted and a late context admitted
+    // (metric_helper.go:91-116, eviction test metric_helper_test.go:142-179)
+    "q15_ttl_capped_red" -> ((s, dir) =>
+      Aggregates
+        .ttlCappedRed(enriched(s, dir), Q15Cfg)
+        .orderBy("win_start_us", "service", "request_context")),
     // P9 turn-gap latency: event-time delta to the next turn in the
     // conversation (utils.go:27-29 end-start analogue for transcripts)
     "q12_turn_gap" -> ((s, dir) => {
@@ -309,6 +324,11 @@ object SparkEntry {
       limit = Q13Cfg.limitPerService,
       extraLabels = Q13Cfg.captureAttributesInMetric,
       buckets = Q13Cfg.histogramBuckets
+    ),
+    "q15_ttl_capped_red" -> OracleSql.ttlCappedRedOracle(
+      limit = Q15Cfg.limitPerService,
+      ttlMinutes = Q15Cfg.requestContextCacheTTLMinutes,
+      windowMinutes = 5
     ),
 
     // ---- training-data pipeline oracles ----

@@ -54,22 +54,30 @@ object Aggregates {
     */
   def firstSeenRank(
       df: DataFrame,
-      partitionCol: String,
+      partitionCols: Seq[String],
       contextCol: String,
       tsCol: String,
       rankName: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.groupBy(partitionCol, contextCol)
+    df.groupBy((partitionCols :+ contextCol).map(col): _*)
       .agg(min(col(tsCol)).as("__first_ts"))
       .withColumn(
         rankName,
         dense_rank().over(
-          Window.partitionBy(partitionCol).orderBy(col("__first_ts"), col(contextCol))
+          Window.partitionBy(partitionCols.map(col): _*).orderBy(col("__first_ts"), col(contextCol))
         )
       )
       .drop("__first_ts")
   }
+
+  def firstSeenRank(
+      df: DataFrame,
+      partitionCol: String,
+      contextCol: String,
+      tsCol: String,
+      rankName: String
+  ): DataFrame = firstSeenRank(df, Seq(partitionCol), contextCol, tsCol, rankName)
 
   /** Fine-grained shared rollup: ONE scan of the enriched spans, partially
     * aggregated to (window, env, site, namespace, service, request
@@ -145,6 +153,62 @@ object Aggregates {
         (sum(col("dur_ms_sum")).cast("double") / 1000.0).as("duration_sum_secs"),
         max("lat_max").as("duration_max_secs")
       )
+
+  /** RED rollup under the TTL-EXPIRING cardinality cap — the batch
+    * re-expression of the reference's per-service TTL'd request-context
+    * cache (metric_helper.go:91-116: capacity `LimitPerService` AND
+    * `RequestContextCacheTTL`; an idle context is EVICTED, its metric
+    * series deleted, and its slot freed for a later context — eviction
+    * test metric_helper_test.go:142-179).
+    *
+    * Batch model: event time is tiled into TTL-length windows; within
+    * each (service_key, ttl window) the first `limitPerService` distinct
+    * contexts by first-seen time are admitted. A context idle for a full
+    * TTL has no presence in the next window, so its slot frees and a
+    * late context IS admitted there — the eviction-then-admission the
+    * reference tests. (Window-boundary eviction instead of a sliding
+    * idle clock: deterministic and partition-stable, which a distributed
+    * batch cap needs; the sliding-clock semantics live in the streaming
+    * cap, [[graft.streaming.StreamingPipeline.metricCapStream]].)
+    *
+    * Same one-scan shape as [[fineRollup]]: aggregate first carrying
+    * group min event time, derive the per-ttl-window first-seen dim from
+    * the aggregate (exchange reuse), then drop over-cap groups.
+    */
+  def ttlCappedRed(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      windowMinutes: Int = 5
+  ): DataFrame = {
+    val winMicros = windowMinutes.toLong * 60L * 1000000L
+    val ttlMicros = cfg.requestContextCacheTTLMinutes.toLong * 60L * 1000000L
+    val gated = if (cfg.captureMetrics) enriched else enriched.filter(lit(false))
+    val raw = gated
+      .filter(col("span_class") =!= "internal")
+      .withColumn("ttl_win", expr(s"unix_micros(cast(ts as timestamp)) div $ttlMicros"))
+      .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
+      .groupBy("service_key", "ttl_win", "win_start_us", "service", "request_context")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"),
+        sum(col("dur_ms")).as("dur_ms_sum"),
+        max(col("latency_secs")).as("lat_max"),
+        min(col("ts")).as("ts_min")
+      )
+    val admitted =
+      firstSeenRank(raw, Seq("service_key", "ttl_win"), "request_context", "ts_min", "ctx_rank")
+        .filter(col("ctx_rank") <= cfg.limitPerService)
+        .select("service_key", "ttl_win", "request_context")
+    raw
+      .join(broadcast(admitted), Seq("service_key", "ttl_win", "request_context"))
+      .groupBy("win_start_us", "service", "request_context")
+      .agg(
+        sum("n_spans").as("requests"),
+        sum("n_errors").as("errors"),
+        (sum(col("dur_ms_sum")).cast("double") / 1000.0).as("duration_sum_secs"),
+        max("lat_max").as("duration_max_secs")
+      )
+  }
 
   /** Latency histogram per (service, le) in the Prometheus cumulative-
     * bucket form, derived from the shared rollup. */

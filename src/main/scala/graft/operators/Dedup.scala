@@ -274,8 +274,9 @@ object Dedup {
     * Scale shape: the standard big-graph CC loop — each round is one
     * partial-aggregable groupBy(min) over the symmetric edge list joined
     * to current labels, converging in O(component diameter) rounds
-    * (near-dup components are shallow). The symmetric edge set is
-    * MATERIALIZED once (cache + count) before the loop — the edges
+    * (near-dup components are shallow). The candidate edge set is
+    * MATERIALIZED once (cache + count, below the symmetric union so the
+    * union's two arms read the cache) before the loop — the edges
     * argument is typically an expensive candidate-generation DAG
     * (minhash-LSH) that must execute once, not once per round. Each
     * round's labels carry (old, new) side by side so the convergence
@@ -288,11 +289,14 @@ object Dedup {
     */
   def duplicateClusters(docs: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val checkpointEvery = 5
-    val sym = edges
+    // cache the DIRECTED edges (not the symmetric union): the union's two
+    // arms would each traverse the candidate DAG, so caching below the
+    // union guarantees exactly one execution of it
+    val edgesCached = edges.select(col("doc_a"), col("doc_b")).cache()
+    edgesCached.count() // force ONE execution of the upstream candidate DAG
+    val sym = edgesCached
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    sym.count() // force ONE execution of the upstream candidate DAG
+      .unionByName(edgesCached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // `cached` is the handle unpersist() must be called on (unpersisting a
     // projection does not release the cached parent plan)
     var cached = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
@@ -326,7 +330,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    edgesCached.unpersist()
     labels.select(
       col("doc_id"),
       col("label").as("cluster_id"),

@@ -18,12 +18,12 @@ import graft.model.PipelineConfig
   * service_queue.go:30-37), which maps exactly to per-micro-batch batch
   * semantics, not to cross-batch state.
   *
-  * The one genuinely cross-batch piece of state is the periodic "normal"
+  * Two pieces of state are genuinely cross-batch: the periodic "normal"
   * sampler (one healthy trace per (entity, request) per N minutes,
-  * periodic_sampler.go:13-31) — that is [[normalSamplerStream]], a
-  * `flatMapGroupsWithState` keeping lastSampleTime per key with a
-  * processing-time timeout for eviction (the TTL-cache analogue,
-  * metric_helper.go:91-116).
+  * periodic_sampler.go:13-31) — [[normalSamplerStream]] — and the
+  * metric-path cardinality cap's TTL'd request-context cache
+  * (metric_helper.go:91-141) — [[metricCapStream]]. Both are
+  * `flatMapGroupsWithState` with processing-time timeouts bounding state.
   */
 object StreamingPipeline {
 
@@ -171,6 +171,76 @@ object StreamingPipeline {
       .groupByKey(c => SamplerKey(c.entity_key, c.request_context))
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         sampleGroup(cfg.normalSamplingFrequencyMinutes, stateTtl)
+      )
+  }
+
+  /** One span/context observation headed for the metric path. */
+  final case class CapCandidate(service_key: String, request_context: String, ts_micros: Long)
+
+  /** Per-service cap cache: admitted context -> last-seen event time. */
+  final case class CapState(entries: Map[String, Long])
+
+  final case class CapDecision(
+      service_key: String,
+      request_context: String,
+      ts_micros: Long,
+      admitted: Boolean
+  )
+
+  /** The reference's TTL'd request-context cache as per-key sequential
+    * state (metric_helper.go:91-141): a context is admitted to the metric
+    * path iff it is already cached OR the service's cache holds fewer
+    * than `limit` live entries; hits refresh the entry's TTL (ttlcache
+    * Get touch semantics) and entries idle for a full TTL are evicted,
+    * freeing slots for later contexts — the exact eviction-then-admission
+    * of metric_helper_test.go:142-179. Rows are processed in event-time
+    * order within each micro-batch; idle KEYS (whole services) are
+    * dropped via processing-time timeout.
+    */
+  def capGroup(
+      limit: Int,
+      ttlMinutes: Int,
+      stateTtl: Boolean
+  )(
+      key: String,
+      rows: Iterator[CapCandidate],
+      state: GroupState[CapState]
+  ): Iterator[CapDecision] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val ttlMicros = ttlMinutes.toLong * 60L * 1000000L
+      var entries = state.getOption.map(_.entries).getOrElse(Map.empty[String, Long])
+      val out = rows.toSeq.sortBy(c => (c.ts_micros, c.request_context)).map { c =>
+        entries = entries.filter { case (_, last) => last + ttlMicros > c.ts_micros }
+        val admitted = entries.contains(c.request_context) || entries.size < limit
+        if (admitted) entries = entries.updated(c.request_context, c.ts_micros)
+        CapDecision(key, c.request_context, c.ts_micros, admitted)
+      }
+      state.update(CapState(entries))
+      if (stateTtl) state.setTimeoutDuration(s"${ttlMinutes * 2} minutes")
+      out.iterator
+    }
+  }
+
+  /** Wire the stateful metric-cardinality cap over a stream of
+    * (service_key, request_context, ts) observations — the streaming G6
+    * mapping: state is bounded by limit entries per live service key. */
+  def metricCapStream(
+      spark: SparkSession,
+      spans: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      stateTtl: Boolean = true
+  ): org.apache.spark.sql.Dataset[CapDecision] = {
+    import spark.implicits._
+    val timeout =
+      if (stateTtl) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    spans
+      .as[CapCandidate]
+      .groupByKey(_.service_key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        capGroup(cfg.limitPerService, cfg.requestContextCacheTTLMinutes, stateTtl)
       )
   }
 }

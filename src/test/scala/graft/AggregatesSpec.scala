@@ -117,6 +117,22 @@ class AggregatesSpec extends SparkTestBase {
     assert(Aggregates.fineRollup(enriched, cfg.copy(captureMetrics = false)).count() == 0)
   }
 
+  test("TTL cap (batch): idle context evicted at window boundary, late context admitted") {
+    // batch mirror of metric_helper_test.go:142-179: limit 1, TTL 60 min.
+    // Window 0: /a first-seen -> admitted, /b over-cap -> no metric rows.
+    // Window 1: /a idle -> slot free -> /b admitted.
+    val ttlCfg = cfg.copy(limitPerService = 1, requestContextCacheTTLMinutes = 60)
+    val t = turnsDf(Seq(
+      turn("c1", 1, "user", "web", 100, url = "https://h/a", tSecs = 0),
+      turn("c2", 1, "user", "web", 100, url = "https://h/b", tSecs = 600), // win 0, over cap
+      turn("c3", 1, "user", "web", 100, url = "https://h/b", tSecs = 3700) // win 1, admitted
+    ))
+    val red = Aggregates.ttlCappedRed(Enrich.enriched(t, spark, ttlCfg), ttlCfg)
+    val got = red.select("request_context", "win_start_us").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("/a", 0L), ("/b", 3600L * 1000000L)))
+  }
+
   test("histogram buckets: latency lands in the smallest bucket >= value") {
     val t = turnsDf(Seq(
       turn("c1", 0, "user", "api-server", 5), // 0.005 -> le 0.005

@@ -43,6 +43,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TTL'd metric cap: eviction frees a slot and a late context is admitted") {
+    // mirrors metric_helper_test.go:142-179: with limit 2, contexts A and
+    // B fill svc's cache and C is refused; after A and B idle past the
+    // TTL, C IS admitted (eviction freed the slots)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingPipeline.CapCandidate]
+    val cfg = graft.model.PipelineConfig.default
+      .copy(limitPerService = 2, requestContextCacheTTLMinutes = 60)
+    val decisions = StreamingPipeline.metricCapStream(spark, input.toDF(), cfg, stateTtl = false)
+    val q = decisions.writeStream
+      .format("memory").queryName("cap_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        StreamingPipeline.CapCandidate("svc", "/a", minutes(0)),
+        StreamingPipeline.CapCandidate("svc", "/b", minutes(1)),
+        StreamingPipeline.CapCandidate("svc", "/c", minutes(2)) // cache full -> refused
+      )
+      q.processAllAvailable()
+      // /b stays warm at t=30 (hit refreshes its TTL); /a goes idle
+      input.addData(StreamingPipeline.CapCandidate("svc", "/b", minutes(30)))
+      q.processAllAvailable()
+      // t=70: /a idle since t=0 -> evicted; /c admitted into the free slot.
+      // /b (last seen t=30) is still live.
+      input.addData(
+        StreamingPipeline.CapCandidate("svc", "/c", minutes(70)),
+        StreamingPipeline.CapCandidate("svc", "/b", minutes(71))
+      )
+      q.processAllAvailable()
+      val got = spark.table("cap_out").as[StreamingPipeline.CapDecision].collect()
+        .map(d => (d.request_context, d.ts_micros / minutes(1), d.admitted)).toSet
+      assert(got == Set(
+        ("/a", 0L, true), ("/b", 1L, true), ("/c", 2L, false),
+        ("/b", 30L, true),
+        ("/c", 70L, true), ("/b", 71L, true)
+      ))
+    } finally q.stop()
+  }
+
   test("foreachBatch pipeline: each micro-batch routes and writes sinks like the batch job") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
