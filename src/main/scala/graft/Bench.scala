@@ -46,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = Telemetry.register(spark)
 
     // dev-iteration filter: SPARK_GRAFT_ONLY=q28_dup_clusters,q09_red
     // restricts to the named queries and skips the pipeline entries; the
@@ -92,7 +93,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val tput = (genTurns / genSec).toLong
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput,"telemetry":${telemetry.toJson}}"""
     )
     spark.stop()
   }

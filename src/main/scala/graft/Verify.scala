@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val telemetry = Telemetry.register(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -37,6 +38,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // candidate/output-pair counters of the bucketed similarity operators
+    // (bucket-blow-up early warning — see graft.Telemetry)
+    Files.writeString(Paths.get(s"$outDir/telemetry.json"), telemetry.toJson)
     spark.stop()
   }
 }

@@ -107,10 +107,13 @@ object Dedup {
       .filter(col("df") > maxDocFreq)
       .select("shingle")
     val capped = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val pairs = graft.Telemetry.observeCount(
+      capped.as("a")
+        .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common")),
+      "jaccard_candidate_pairs"
+    )
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
@@ -217,20 +220,27 @@ object Dedup {
         )
       }: _*)).as("c")
     ).select(col("doc_id"), col("simhash"), col("c.c1"), col("c.c2"), col("c.v1"), col("c.v2"))
-    chunks.as("a")
-      .join(
-        chunks.as("b"),
-        col("a.c1") === col("b.c1") && col("a.c2") === col("b.c2") &&
-          col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        bitCount(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
-      )
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
+    val cand = graft.Telemetry.observeCount(
+      chunks.as("a")
+        .join(
+          chunks.as("b"),
+          col("a.c1") === col("b.c1") && col("a.c2") === col("b.c2") &&
+            col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
+            col("a.doc_id") < col("b.doc_id")
+        )
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          bitCount(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+        ),
+      "simhash_candidate_pairs" // multi-index bucket join rows, pre-dedup
+    )
+    graft.Telemetry.observeCount(
+      cand
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= maxHamming),
+      "simhash_output_pairs"
+    )
   }
 
   private def bitCount(c: Column): Column = call_function("bit_count", c)
@@ -376,15 +386,17 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, w: Int = 3, minEstimate: Double = 0.5): DataFrame = {
     val sig = minhashSigDf(docs, w)
     val bands = minhashBands(docs, w).select("doc_id", "band_idx", "band_key")
-    val cand = bands.as("a")
-      .join(
-        bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = graft.Telemetry.observeCount(
+      bands.as("a")
+        .join(
+          bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      "minhash_candidate_pairs" // band-bucket join rows, pre-dedup
+    ).dropDuplicates("doc_a", "doc_b")
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))

@@ -221,17 +221,21 @@ object Similarity {
   ): DataFrame = {
     val tables = planeTables(nTables, nPlanes, dims)
     val b = bucketed(corpus, "vid", "v", tables)
-    b.as("a")
-      .join(
-        b.as("b"),
-        col("a.table_idx") === col("b.table_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vid") < col("b.vid")
-      )
-      .select(
-        col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb")
-      )
+    val cand = graft.Telemetry.observeCount(
+      b.as("a")
+        .join(
+          b.as("b"),
+          col("a.table_idx") === col("b.table_idx") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vid") < col("b.vid")
+        )
+        .select(
+          col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+          col("a.v").as("va"), col("b.v").as("vb")
+        ),
+      "cosine_candidate_pairs" // bucket join rows, pre-dedup
+    )
+    cand
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosineQ(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
