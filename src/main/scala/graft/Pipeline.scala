@@ -27,6 +27,9 @@ final case class PipelineOutputs(
     enriched: DataFrame,
     routing: DataFrame,
     routedTurns: DataFrame,
+    /** the CACHED uncapped rollup every metric table derives from */
+    fineRollupRaw: DataFrame,
+    /** the cardinality-capped rollup (a cheap derivation of the raw) */
     fineRollup: DataFrame,
     traceCounts: DataFrame,
     sampledTraceCounts: DataFrame,
@@ -39,7 +42,7 @@ final case class PipelineOutputs(
   def unpersistAll(): Unit = {
     enriched.unpersist()
     routing.unpersist()
-    fineRollup.unpersist()
+    fineRollupRaw.unpersist()
   }
 }
 
@@ -72,9 +75,13 @@ object Pipeline {
     val enriched = if (cache) enriched0.cache() else enriched0
     val routing0 = Route.convRouting(enriched, cfg)
     val routing = if (cache) routing0.cache() else routing0
-    // ONE pass over the spans feeds every metric table (rollup tree)
-    val rollup0 = Aggregates.fineRollup(enriched, cfg)
-    val rollup = if (cache) rollup0.cache() else rollup0
+    // ONE pass over the spans feeds every metric table (rollup tree).
+    // The UNCAPPED raw rollup is the cached node: the cardinality-cap dim
+    // and every derived table then read the tiny aggregate from cache, so
+    // the span relation is aggregated exactly once per run.
+    val rawRollup0 = Aggregates.fineRollupRaw(enriched, cfg)
+    val rawRollup = if (cache) rawRollup0.cache() else rawRollup0
+    val rollup = Aggregates.capRollup(rawRollup, cfg)
     // sample_traces = false: the sampler is bypassed — every turn
     // forwards with sink "forward" and the trace/sampled counters stay
     // at zero; metric capture is unaffected (processor.go:70-74; the
@@ -93,6 +100,7 @@ object Pipeline {
       enriched = enriched,
       routing = routing,
       routedTurns = routedTurns,
+      fineRollupRaw = rawRollup,
       fineRollup = rollup,
       traceCounts = ifSampling(Aggregates.traceCounts(routing)),
       sampledTraceCounts = ifSampling(Aggregates.sampledTraceCounts(routing)),

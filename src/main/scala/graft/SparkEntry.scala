@@ -37,6 +37,15 @@ object SparkEntry {
     requestContextCacheTTLMinutes = 240
   )
 
+  /** q16 grok pattern: the transcript line layout as ONE named-capture
+    * pass (SURVEY §7.3); the oracle uses the same regex with unnamed
+    * groups (see [[grokPatternUnnamed]]). */
+  private val GrokPattern =
+    "call=(?<callsvc>[A-Za-z0-9_-]+)\\.(?<callmethod>[A-Za-z0-9_]+)" +
+      " url=(?<url>https?://[^ ]+) status=(?<status>[0-9]+) dur=(?<durms>[0-9]+)ms"
+  private def grokPatternUnnamed: String =
+    GrokPattern.replaceAll("\\(\\?<[A-Za-z][A-Za-z0-9]*>", "(")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_routing")(spark, "/root/testdata/sf0.001")
@@ -125,6 +134,24 @@ object SparkEntry {
       Aggregates
         .ttlCappedRed(enriched(s, dir), Q15Cfg)
         .orderBy("win_start_us", "service", "request_context")),
+    // P3 one-pass grok named-capture extraction (native codegen
+    // Expression — SURVEY §7.3): all structured fields of the line from
+    // a single matcher pass instead of one regexp_extract per field
+    "q16_grok_parse" -> ((s, dir) => {
+      graft.functions.Grok.register(s)
+      val g = graft.functions.Grok.grokExtract(col("text"), GrokPattern)
+      transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), g.as("g"))
+        .select(
+          col("conv_id"), col("turn_idx"),
+          col("g.callsvc").as("call_service"),
+          col("g.callmethod").as("call_method"),
+          col("g.url").as("url"),
+          col("g.status").cast("int").as("status_code"),
+          col("g.durms").cast("bigint").as("dur_ms")
+        )
+        .orderBy("conv_id", "turn_idx")
+    }),
     // P9 turn-gap latency: event-time delta to the next turn in the
     // conversation (utils.go:27-29 end-start analogue for transcripts)
     "q12_turn_gap" -> ((s, dir) => {
@@ -330,6 +357,20 @@ object SparkEntry {
       ttlMinutes = Q15Cfg.requestContextCacheTTLMinutes,
       windowMinutes = 5
     ),
+    "q16_grok_parse" -> {
+      val p = grokPatternUnnamed.replace("'", "''")
+      def f(i: Int) =
+        s"CASE WHEN regexp_matches(text, '$p') THEN regexp_extract(text, '$p', $i) END"
+      Transcripts.oracle(
+        s"""SELECT conv_id, turn_idx,
+           |  ${f(1)} AS call_service,
+           |  ${f(2)} AS call_method,
+           |  ${f(3)} AS url,
+           |  CAST(${f(4)} AS INT) AS status_code,
+           |  CAST(${f(5)} AS BIGINT) AS dur_ms
+           |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin
+      )
+    },
 
     // ---- training-data pipeline oracles ----
     "q12_turn_gap" -> Transcripts.oracle(

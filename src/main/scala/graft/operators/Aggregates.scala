@@ -89,13 +89,25 @@ object Aggregates {
     *
     * The metric-series cardinality cap (metric_helper.go:85-141: only the
     * first LimitPerService distinct request contexts per service_key are
-    * measured, over-cap contexts emit NO rows) is applied POST-aggregation:
-    * the fine groups carry their min event time, the [[firstSeenRank]] dim
-    * is a re-aggregation of the rollup itself, and Spark reuses the
-    * rollup's shuffle (ReusedExchange) for it — so the cap costs one extra
-    * pass over the tiny aggregate, not a second scan of the span data.
+    * measured, over-cap contexts emit NO rows) is applied POST-aggregation
+    * by [[capRollup]]: the fine groups carry their min event time and the
+    * [[firstSeenRank]] dim re-aggregates the rollup itself — standalone,
+    * the dim branch re-reads the enriched shuffle (ReusedExchange on the
+    * span-level exchange, one scan of the source); in the pipeline,
+    * [[fineRollupRaw]] is cached so the cap dim costs one pass over the
+    * tiny aggregate and the span data is aggregated exactly once.
     */
   def fineRollup(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      windowMinutes: Int = 5
+  ): DataFrame =
+    capRollup(fineRollupRaw(enriched, cfg, windowMinutes), cfg)
+
+  /** The UNCAPPED fine rollup, carrying service_key and each group's min
+    * event time — the cacheable intermediate the cap dim and every metric
+    * table derive from. */
+  def fineRollupRaw(
       enriched: DataFrame,
       cfg: PipelineConfig = PipelineConfig.default,
       windowMinutes: Int = 5
@@ -108,7 +120,7 @@ object Aggregates {
     val gated =
       if (!cfg.captureMetrics) enriched.filter(lit(false))
       else enriched
-    val raw = gated
+    gated
       .filter(col("span_class") =!= "internal")
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
       .withColumn("le", leExpr)
@@ -120,6 +132,10 @@ object Aggregates {
         max(col("latency_secs")).as("lat_max"),
         min(col("ts")).as("ts_min")
       )
+  }
+
+  /** Apply the first-seen cardinality cap to [[fineRollupRaw]] output. */
+  def capRollup(raw: DataFrame, cfg: PipelineConfig): DataFrame = {
     val admitted = firstSeenRank(raw, "service_key", "request_context", "ts_min", "ctx_rank")
       .filter(col("ctx_rank") <= cfg.limitPerService)
       .select("service_key", "request_context")
