@@ -459,6 +459,39 @@ object OracleSql {
 
   val stopwordList: String = sqlList(graft.operators.TextAnalysis.stopwordsEn)
 
+  /** Winnowing fingerprint sets (mirrors Dedup.winnowingFingerprints
+    * with k=8, w=4) — fragments ending in `wfps(doc_id, fp)`. */
+  val winnowingCte: String =
+    """WITH wg AS (
+      |  SELECT doc_id, CAST(unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS INT) AS i, text
+      |  FROM documents
+      |),
+      |wh AS (
+      |  SELECT doc_id, i,
+      |    md5_number_lower(substr(text, i, 8)) & CAST(9223372036854775807 AS UBIGINT) AS hh
+      |  FROM wg
+      |),
+      |wfps AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, min(hh) OVER (
+      |      PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |    FROM wh
+      |  )
+      |)""".stripMargin
+
+  /** Deterministic hash split (mirrors Dedup.trainSplit) — fragment
+    * `spl(doc_id, split)`. */
+  val trainSplitCte: String =
+    """spl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+      |               & CAST(9223372036854775807 AS UBIGINT)) % 100 < 90 THEN 'train'
+      |         WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+      |               & CAST(9223372036854775807 AS UBIGINT)) % 100 < 95 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |)""".stripMargin
+
   /** Synthetic media rows (mirrors Multimodal.syntheticMedia): payload as
     * a hex string so frame slicing stays byte-aligned in SQL (DuckDB 1.0
     * has no BLOB substring); unhex at the edges. */

@@ -219,6 +219,20 @@ object SparkEntry {
     // deterministic hash-based train/val/test split
     "q29_train_split" -> ((s, dir) =>
       Dedup.trainSplit(docs(s, dir)).orderBy("doc_id")),
+    // sequence packing: concatenate-then-chunk layout into fixed
+    // token-capacity training sequences, sharded for parallelism
+    "q34_pack" -> ((s, dir) =>
+      graft.operators.Assemble.packSequences(docs(s, dir), capacityTokens = 512, shardSize = 100)
+        .orderBy("doc_id")),
+    // context-window chunking with overlap
+    "q35_chunks" -> ((s, dir) =>
+      graft.operators.Assemble.chunk(docs(s, dir), size = 256, overlap = 32)
+        .orderBy("doc_id", "chunk_idx")),
+    // train/benchmark decontamination: test docs sharing winnowing
+    // fingerprints with train docs (df-capped inverted-index join)
+    "q36_decontam" -> ((s, dir) =>
+      Dedup.decontaminationPairs(docs(s, dir))
+        .orderBy("test_doc_id", "train_doc_id")),
     // ANN: exact brute-force cosine top-k (oracle-checked)
     "q30_ann_topk" -> ((s, dir) => {
       val emb = embs(s, dir)
@@ -518,20 +532,43 @@ object SparkEntry {
     "q33_ann_ivf" -> OracleSql.ivfOracle(k = 5, nCentroids = 16, nProbe = 4),
     "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4),
     "q42_winnowing" ->
-      """WITH g AS (
-        |  SELECT doc_id, CAST(unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS INT) AS i, text
+      (OracleSql.winnowingCte + """
+        |SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp""".stripMargin),
+    "q34_pack" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents
         |),
-        |h AS (
-        |  SELECT doc_id, i,
-        |    md5_number_lower(substr(text, i, 8)) & CAST(9223372036854775807 AS UBIGINT) AS hh
-        |  FROM g
+        |c AS (
+        |  SELECT *, COALESCE(CAST(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM p
         |)
-        |SELECT DISTINCT doc_id, fp FROM (
-        |  SELECT doc_id, min(hh) OVER (
-        |    PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM h
-        |) ORDER BY doc_id, fp""".stripMargin,
+        |SELECT doc_id, shard, n_tokens,
+        |  shard * 1000000 + cum_before // 512 AS seq_id,
+        |  cum_before % 512 AS seq_offset,
+        |  (cum_before % 512 + n_tokens > 512) AS straddles
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q35_chunks" ->
+      """SELECT doc_id, chunk_idx,
+        |  substr(text, chunk_idx * 224 + 1, 256) AS chunk_text,
+        |  CAST(len(substr(text, chunk_idx * 224 + 1, 256)) AS INT) AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(0, greatest(CAST(ceil((len(text) - 32) / 224.0) AS BIGINT), 1))) AS INT) AS chunk_idx
+        |  FROM documents
+        |) ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q36_decontam" ->
+      (OracleSql.winnowingCte + ",\n" + OracleSql.trainSplitCte + """,
+        |fsp AS (SELECT f.doc_id, f.fp, s.split FROM wfps f JOIN spl s USING (doc_id)),
+        |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fsp GROUP BY 1) WHERE df > 20),
+        |cool AS (SELECT * FROM fsp WHERE fp NOT IN (SELECT fp FROM hot))
+        |SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cool t JOIN cool r ON t.fp = r.fp AND t.split = 'test' AND r.split = 'train'
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin),
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, media_type, width, height, hex AS payload_hex

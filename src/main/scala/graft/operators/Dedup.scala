@@ -379,6 +379,44 @@ object Dedup {
     )
   }
 
+  /** Train/benchmark decontamination: pairs of (test-split doc,
+    * train-split doc) sharing at least `minShared` winnowing
+    * fingerprints — the overlap check a training pipeline runs so
+    * evaluation data does not leak into the training set. Composes
+    * [[winnowingFingerprints]] (guaranteed to catch shared substrings
+    * longer than w + k - 1 chars) with [[trainSplit]].
+    *
+    * Scale shape: the fp join is an inverted-index equi-join like the
+    * shingle join; fingerprints appearing in more than `maxDocFreq`
+    * docs are dropped first (broadcast anti-join) — a ubiquitous
+    * substring is not contamination evidence but WOULD create an
+    * O(df^2) hot bucket. Candidate counts ride the telemetry observer.
+    */
+  def decontaminationPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2,
+      maxDocFreq: Int = 20
+  ): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w)
+      .join(trainSplit(docs).select("doc_id", "split"), Seq("doc_id"))
+    val hot = fps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("fp")
+    val cool = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val test = cool.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("fp"))
+    val train = cool.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("fp"))
+    graft.Telemetry.observeCount(test.join(train, Seq("fp")), "decontam_candidate_rows")
+      .groupBy("test_doc_id", "train_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard =
     * fraction of equal signature components. Pairs sharing >=1 band
     * bucket; estimate >= minEstimate.

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Assemble, Dedup}
+
+/** Sequence packing, context chunking, decontamination. */
+class AssembleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  test("packSequences: offsets within capacity, contiguous layout, straddle flag") {
+    val docs = docsDf(Seq(
+      (0L, Seq.fill(30)("w").mkString(" ")), // 30 tokens
+      (1L, Seq.fill(50)("w").mkString(" ")), // 50 -> straddles 64-cap at offset 30
+      (2L, Seq.fill(10)("w").mkString(" ")),
+      (100L, Seq.fill(5)("w").mkString(" ")) // new shard (shardSize 100)
+    ))
+    val packed = Assemble.packSequences(docs, capacityTokens = 64, shardSize = 100)
+      .orderBy("doc_id").collect()
+    val byId = packed.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(byId(0L) == (0L, 0L, 0L, false))
+    assert(byId(1L) == (0L, 0L, 30L, true)) // 30 + 50 > 64
+    assert(byId(2L) == (0L, 1L, 80L % 64, false)) // cum 80 -> seq 1, offset 16
+    assert(byId(100L) == (1L, 1000000L, 0L, false)) // fresh shard, fresh seq
+    // offsets always inside the capacity
+    assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 64))
+  }
+
+  test("chunk: overlap-stripped chunks reassemble the document") {
+    val texts = Seq(
+      (0L, "abcdefghij" * 60), // 600 chars
+      (1L, "short"),
+      (2L, "")
+    )
+    val chunks = Assemble.chunk(docsDf(texts), size = 256, overlap = 32)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    texts.foreach { case (id, text) =>
+      val cs = byDoc(id).sortBy(_.getInt(1)).map(_.getString(2))
+      val rebuilt = cs.head + cs.tail.map(_.drop(32)).mkString
+      assert(rebuilt == text, s"doc $id reassembly")
+      // every chunk except the last is full-size
+      cs.init.foreach(c => assert(c.length == 256))
+    }
+  }
+
+  test("decontaminationPairs: a test doc sharing a long substring with a train doc is flagged") {
+    // find doc_ids landing in test vs train under the hash split
+    val ids = Dedup.trainSplit(docsDf((0L to 200L).map(i => (i, "x"))).select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val testId = ids.collectFirst { case (i, "test") => i }.get
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val otherTrain = ids.collect { case (i, "train") if i != trainId => i }.head
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDf(Seq(
+      (testId, s"evaluation prompt: $shared :: answer"),
+      (trainId, s"training corpus line containing $shared inside it"),
+      (otherTrain, "completely unrelated content with no overlap at all zzz")
+    ))
+    val pairs = Dedup.decontaminationPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((testId, trainId)))
+    assert(!pairs.contains((testId, otherTrain)))
+  }
+}
