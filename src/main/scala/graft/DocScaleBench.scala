@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Assemble, Dedup, TextAnalysis}
+
+/** Scale harness for the document operators: a generated corpus far
+  * beyond the sf tables (ground-truth near-dup groups, no files), each
+  * bucketed operator timed by forcing its count, candidate counters via
+  * the telemetry listener. Usage:
+  *   SPARK_DRIVER_MEM=24g dev/run.sh graft.DocScaleBench 100000 32
+  */
+object DocScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 100000L
+    val cpus = if (args.length > 1) args(1) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val telemetry = Telemetry.register(spark)
+
+    val docs = graft.sources.DocGen.synthetic(spark, nDocs).cache()
+    val nd = docs.count() // generation outside the timed ops
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[docscale] $name: $n rows in ${results(name)}%s")
+    }
+
+    t("exact_dedup") { Dedup.exact(docs).filter(col("is_duplicate")).count() }
+    t("minhash_pairs") { Dedup.minhashLshPairs(docs, w = 3, minEstimate = 0.5).count() }
+    t("simhash_pairs") { Dedup.simhashPairs(docs, maxHamming = 6).count() }
+    t("jaccard_pairs") { Dedup.ngramJaccardPairs(docs, w = 3, minJaccard = 0.5, maxDocFreq = 50).count() }
+    t("winnowing") { Dedup.winnowingFingerprints(docs).count() }
+    t("dup_clusters") {
+      Dedup.duplicateClusters(docs, Dedup.minhashLshPairs(docs, w = 3, minEstimate = 0.5))
+        .filter(!col("is_canonical")).count()
+    }
+    t("decontam") { Dedup.decontaminationPairs(docs, maxDocFreq = 50).count() }
+    t("pack") { Assemble.packSequences(docs).count() }
+    t("chunks") { Assemble.chunk(docs).count() }
+    t("token_stats") { TextAnalysis.tokenStats(docs).count() }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"doc_scale","n_docs":$nd,"ops_sec":$qs,"telemetry":${telemetry.toJson}}"""
+    )
+    spark.stop()
+  }
+}

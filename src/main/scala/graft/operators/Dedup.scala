@@ -391,15 +391,20 @@ object Dedup {
     * docs are dropped first (broadcast anti-join) — a ubiquitous
     * substring is not contamination evidence but WOULD create an
     * O(df^2) hot bucket. Candidate counts ride the telemetry observer.
+    * Filter pushdown specializes the test/train branches, so the
+    * fingerprint DAG executes once per side; at corpus scale pass
+    * `precomputedFps` (the persisted fingerprint table a dedup pipeline
+    * keeps anyway) and both sides read it instead of re-hashing.
     */
   def decontaminationPairs(
       docs: DataFrame,
       k: Int = 8,
       w: Int = 4,
       minShared: Long = 2,
-      maxDocFreq: Int = 20
+      maxDocFreq: Int = 20,
+      precomputedFps: Option[DataFrame] = None
   ): DataFrame = {
-    val fps = winnowingFingerprints(docs, k, w)
+    val fps = precomputedFps.getOrElse(winnowingFingerprints(docs, k, w))
       .join(trainSplit(docs).select("doc_id", "split"), Seq("doc_id"))
     val hot = fps
       .groupBy("fp")

@@ -174,8 +174,18 @@ object StreamingPipeline {
       )
   }
 
-  /** One span/context observation headed for the metric path. */
-  final case class CapCandidate(service_key: String, request_context: String, ts_micros: Long)
+  /** One span/context observation headed for the metric path; the
+    * measure fields ride along so an admitted span can feed a windowed
+    * rollup directly (defaults keep decision-only call sites terse). */
+  final case class CapCandidate(
+      service_key: String,
+      request_context: String,
+      ts_micros: Long,
+      service: String = "",
+      dur_ms: Long = 0L,
+      is_error: Boolean = false,
+      latency_secs: Double = 0.0
+  )
 
   /** Per-service cap cache: admitted context -> last-seen event time. */
   final case class CapState(entries: Map[String, Long])
@@ -184,7 +194,11 @@ object StreamingPipeline {
       service_key: String,
       request_context: String,
       ts_micros: Long,
-      admitted: Boolean
+      admitted: Boolean,
+      service: String = "",
+      dur_ms: Long = 0L,
+      is_error: Boolean = false,
+      latency_secs: Double = 0.0
   )
 
   /** The reference's TTL'd request-context cache as per-key sequential
@@ -216,7 +230,8 @@ object StreamingPipeline {
         entries = entries.filter { case (_, last) => last + ttlMicros > c.ts_micros }
         val admitted = entries.contains(c.request_context) || entries.size < limit
         if (admitted) entries = entries.updated(c.request_context, c.ts_micros)
-        CapDecision(key, c.request_context, c.ts_micros, admitted)
+        CapDecision(key, c.request_context, c.ts_micros, admitted,
+          c.service, c.dur_ms, c.is_error, c.latency_secs)
       }
       state.update(CapState(entries))
       if (stateTtl) state.setTimeoutDuration(s"${ttlMinutes * 2} minutes")
@@ -241,6 +256,55 @@ object StreamingPipeline {
       .groupByKey(_.service_key)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         capGroup(cfg.limitPerService, cfg.requestContextCacheTTLMinutes, stateTtl)
+      )
+  }
+
+  /** The G5+G6 streaming composition: the windowed RED rollup fed ONLY
+    * by spans the TTL'd cardinality cache admits — the exact runtime
+    * shape of the reference's metric path (captureMetrics gated by the
+    * per-service cache, then the latency histogram records). Stateful
+    * cap (Append) followed by a watermarked windowed aggregation; state
+    * is bounded by (limit entries per live service) + (windows inside
+    * the watermark horizon) x admitted-context cardinality — the cap
+    * bounds the aggregation state in turn.
+    *
+    * Input: an enriched stream carrying (service_key, request_context,
+    * ts, service, dur_ms, is_error, latency_secs, span_class).
+    */
+  def streamingCappedRedRollup(
+      spark: SparkSession,
+      enrichedStream: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      windowMinutes: Int = 5,
+      latenessMinutes: Int = 10,
+      stateTtl: Boolean = true
+  ): DataFrame = {
+    val candidates = enrichedStream
+      .filter(col("span_class") =!= "internal")
+      .select(
+        col("service_key"), col("request_context"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_micros"),
+        col("service"), col("dur_ms"), col("is_error"), col("latency_secs")
+      )
+    metricCapStream(spark, candidates, cfg, stateTtl)
+      .filter(_.admitted)
+      .toDF()
+      .withColumn("ts_event", expr("timestamp_micros(ts_micros)"))
+      .withWatermark("ts_event", s"$latenessMinutes minutes")
+      .groupBy(
+        window(col("ts_event"), s"$windowMinutes minutes").as("win"),
+        col("service"),
+        col("request_context")
+      )
+      .agg(
+        count(lit(1)).as("requests"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("errors"),
+        (sum(col("dur_ms")).cast("double") / 1000.0).as("duration_sum_secs"),
+        max(col("latency_secs")).as("duration_max_secs")
+      )
+      .select(
+        col("win.start").as("win_start"), col("service"), col("request_context"),
+        col("requests"), col("errors"), col("duration_sum_secs"), col("duration_max_secs")
       )
   }
 }

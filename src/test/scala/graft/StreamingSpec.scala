@@ -138,6 +138,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("capped streaming RED rollup: over-cap context contributes no metric rows") {
+    // G5+G6 composition: stateful TTL cap (Append) -> watermarked
+    // windowed rollup. Limit 1: /a is admitted, /b refused — the
+    // finalized window must contain ONLY /a's rows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.Turn]
+    val cfg = graft.model.PipelineConfig.default
+      .copy(limitPerService = 1, requestContextCacheTTLMinutes = 60)
+    val enrichedStream = graft.operators.Enrich.enriched(input.toDF(), spark, cfg)
+    val rollup = StreamingPipeline.streamingCappedRedRollup(
+      spark, enrichedStream, cfg, windowMinutes = 5, latenessMinutes = 10, stateTtl = false)
+    val q = rollup.writeStream
+      .format("memory").queryName("capped_red_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        turn("c1", 1, "user", "web", durMs = 100, url = "https://h/a", tSecs = 0),
+        turn("c2", 1, "user", "web", durMs = 300, url = "https://h/a", tSecs = 60),
+        turn("c3", 1, "user", "web", durMs = 200, url = "https://h/b", tSecs = 120) // over cap
+      )
+      q.processAllAvailable()
+      // event time jumps: watermark passes the [0,5) window; /a is idle
+      // past the TTL by then, so the late /b IS admitted (eviction)
+      input.addData(turn("c4", 1, "user", "web", durMs = 50, url = "https://h/b", tSecs = 7200))
+      q.processAllAvailable()
+      val rows = spark.table("capped_red_out")
+        .select("request_context", "requests", "duration_sum_secs").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "/a")
+      assert(rows.head.getLong(1) == 2) // both /a turns, /b excluded
+      assert(math.abs(rows.head.getDouble(2) - 0.4) < 1e-9)
+    } finally q.stop()
+  }
+
   test("config hot-refresh: a threshold change between micro-batches changes routing") {
     // mirrors config_refresh.go:28-84 listener semantics: the YAML is
     // re-read per batch, so the same turn routes 'normal' under a high
