@@ -49,6 +49,20 @@ object DocScaleBench {
     t("chunks") { Assemble.chunk(docs).count() }
     t("token_stats") { TextAnalysis.tokenStats(docs).count() }
 
+    // embedding-side operators at the same scale (planted-group vectors)
+    val embs = graft.sources.DocGen.syntheticEmbeddings(spark, nDocs).cache()
+    embs.count()
+    val queries = embs.filter(col("vec_id") < 50)
+    // bucket count must track corpus size: nPlanes ~ log2(n) keeps the
+    // expected bucket occupancy (and so the candidate volume) flat — the
+    // default 6 planes = 64 buckets is a test-scale setting
+    val nPlanes = math.max(6, (math.log(nDocs.toDouble / 10) / math.log(2)).ceil.toInt)
+    t("ann_lsh_topk") { graft.operators.Similarity.lshTopK(embs, queries, k = 5).count() }
+    t("ann_ivf_topk") { graft.operators.Similarity.ivfTopK(embs, queries, k = 5).count() }
+    t("cosine_pairs") {
+      graft.operators.Similarity.nearDupPairs(embs, threshold = 0.9, nPlanes = nPlanes).count()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
       s"""{"metric":"doc_scale","n_docs":$nd,"ops_sec":$qs,"telemetry":${telemetry.toJson}}"""

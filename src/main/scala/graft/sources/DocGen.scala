@@ -62,4 +62,31 @@ object DocGen {
       )
       .withColumn("n_chars", length(col("text")).cast("int"))
   }
+
+  /** Deterministic synthetic embeddings with the same planted-group
+    * structure: vectors in a near-dup group share a base direction with
+    * small per-vector perturbation (high cosine within a group, random
+    * cosine across groups) — ground truth for the ANN/near-dup
+    * operators at scale, generated distributively. */
+  def syntheticEmbeddings(
+      spark: SparkSession,
+      nVecs: Long,
+      dims: Int = 64,
+      groupSize: Int = 4
+  ): DataFrame = {
+    spark.range(nVecs)
+      .select(col("id").as("vec_id"), expr(s"id div $groupSize").as("grp"))
+      .select(
+        col("vec_id"),
+        transform(
+          sequence(lit(0), lit(dims - 1)),
+          j =>
+            ((pmod(crc32(concat(lit("b"), col("grp").cast("string"), lit(":"), j.cast("string"))), lit(2000))
+              - 1000).cast("float") / 1000.0f
+              + (pmod(crc32(concat(lit("n"), col("vec_id").cast("string"), lit(":"), j.cast("string"))), lit(200))
+                - 100).cast("float") / 2000.0f)
+              .cast("float")
+        ).as("embedding")
+      )
+  }
 }
