@@ -406,6 +406,44 @@ object Aggregates {
             env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service"))))
   }
 
+  /** Render the long-format metric relation ([[prometheusTable]]) into
+    * Prometheus text-exposition lines — `name{label="v",...} value` —
+    * the exact shape the reference serves from its scrape endpoint
+    * (metrics_exporter.go:22-56). Label values are escaped per the
+    * exposition format (backslash, quote, newline); NULL labels are
+    * omitted from the brace set like an unset Prometheus label. One
+    * projection, no shuffle — a `.write.text(...)` away from a
+    * scrape-able file per batch.
+    */
+  def prometheusText(table: DataFrame): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(
+        regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        "\n", "\\\\n"
+      )
+    def labelOf(name: String, c: Column): Column =
+      when(c.isNotNull, concat(lit(name + "=\""), esc(c.cast("string")), lit("\"")))
+    val labels = array(
+      labelOf("asserts_env", col("env")),
+      labelOf("asserts_site", col("site")),
+      labelOf("sample_type", col("sample_type")),
+      labelOf("namespace", col("namespace")),
+      labelOf("service", col("service")),
+      labelOf("asserts_request_context", col("request_context")),
+      labelOf("win_start_us", col("win_start_us")),
+      labelOf("le", col("le"))
+    )
+    table.select(
+      concat(
+        col("metric_name"),
+        lit("{"),
+        array_join(filter(labels, _.isNotNull), ","),
+        lit("} "),
+        col("value").cast("string")
+      ).as("line")
+    )
+  }
+
   /** Direct (single-table) forms, kept for API completeness. */
   def redRollup(enriched: DataFrame, windowMinutes: Int = 5): DataFrame =
     redRollupFrom(fineRollup(enriched, PipelineConfig.default, windowMinutes))

@@ -133,6 +133,29 @@ class AggregatesSpec extends SparkTestBase {
     assert(got == Set(("/a", 0L), ("/b", 3600L * 1000000L)))
   }
 
+  test("prometheus text exposition: name{labels} value lines, nulls omitted, values escaped") {
+    val table = Aggregates.prometheusTable(
+      Aggregates.traceCounts(routing),
+      Aggregates.sampledTraceCounts(routing),
+      Aggregates.spanCounts(enriched),
+      Aggregates.redRollup(enriched),
+      Aggregates.latencyHistogram(enriched, cfg),
+      Aggregates.sampledSpanCounts(enriched, routing)
+    )
+    val lines = Aggregates.prometheusText(table).collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    // every line matches the exposition grammar
+    val shape = """[a-z_][a-z0-9_]*\{[^}]*\} -?[0-9.E+-]+""".r
+    lines.foreach(l => assert(shape.pattern.matcher(l).matches(), l))
+    // trace counter carries only env/site labels; no null-label leakage
+    val trace = lines.filter(_.startsWith("asserts_trace_count_total"))
+    assert(trace.nonEmpty && trace.forall(l =>
+      l.contains("asserts_env=\"") && l.contains("asserts_site=\"")
+        && !l.contains("service=") && !l.contains("le=")))
+    // histogram lines carry le
+    assert(lines.exists(l => l.startsWith("otel_span_latency_seconds_bucket") && l.contains("le=\"")))
+  }
+
   test("histogram buckets: latency lands in the smallest bucket >= value") {
     val t = turnsDf(Seq(
       turn("c1", 0, "user", "api-server", 5), // 0.005 -> le 0.005
