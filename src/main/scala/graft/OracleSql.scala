@@ -278,6 +278,34 @@ object OracleSql {
     )
   }
 
+  /** q17 oracle: Prometheus text-exposition lines for the two
+    * integer-valued metric families (trace counter + capped latency
+    * histogram) — mirrors Aggregates.prometheusText label order,
+    * le="+Inf" convention, and double-cast value formatting. */
+  def promTextOracle(buckets: Seq[Double]): String = {
+    val leCase = buckets
+      .map(b => s"WHEN latency_secs <= $b THEN CAST($b AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
+    query(
+      s"""SELECT line FROM (
+         |  SELECT 'asserts_trace_count_total{asserts_env="' || env || '",asserts_site="' || site
+         |    || '"} ' || CAST(CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS VARCHAR) AS line
+         |  FROM routing GROUP BY env, site
+         |  UNION ALL
+         |  SELECT 'otel_span_latency_seconds_bucket{service="' || service || '",le="'
+         |    || CASE WHEN isinf(le) THEN '+Inf' ELSE CAST(le AS VARCHAR) END
+         |    || '"} ' || CAST(CAST(cumulative_count AS DOUBLE) AS VARCHAR) AS line
+         |  FROM (
+         |    SELECT service, le,
+         |      CAST(sum(bucket_count) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cumulative_count
+         |    FROM (SELECT service, $leCase AS le, CAST(count(*) AS BIGINT) AS bucket_count
+         |          FROM capped_enr GROUP BY 1, 2)
+         |  )
+         |) ORDER BY line""".stripMargin,
+      parsedCte, enrichedCte, routingCte, cappedEnrCte
+    )
+  }
+
   /** Assemble an oracle query: transcripts CTE + the given fragments +
     * final SELECT body. */
   def query(body: String, fragments: String*): String =

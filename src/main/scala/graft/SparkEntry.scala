@@ -152,6 +152,28 @@ object SparkEntry {
         )
         .orderBy("conv_id", "turn_idx")
     }),
+    // S5 Prometheus text-exposition rendering of the metric tables
+    // (metrics_exporter.go scrape shape) — restricted to integer-valued
+    // families so double-to-string formatting is cross-engine exact
+    "q17_prom_text" -> ((s, dir) => {
+      val r = routing(s, dir)
+      val e = enriched(s, dir)
+      Aggregates
+        .prometheusText(
+          Aggregates
+            .prometheusTable(
+              Aggregates.traceCounts(r),
+              Aggregates.sampledTraceCounts(r),
+              Aggregates.spanCounts(e),
+              Aggregates.redRollup(e),
+              Aggregates.latencyHistogram(e, cfg),
+              Aggregates.sampledSpanCounts(e, r)
+            )
+            .filter(col("metric_name").isin(
+              "asserts_trace_count_total", "otel_span_latency_seconds_bucket"))
+        )
+        .orderBy("line")
+    }),
     // P9 turn-gap latency: event-time delta to the next turn in the
     // conversation (utils.go:27-29 end-start analogue for transcripts)
     "q12_turn_gap" -> ((s, dir) => {
@@ -371,6 +393,7 @@ object SparkEntry {
       ttlMinutes = Q15Cfg.requestContextCacheTTLMinutes,
       windowMinutes = 5
     ),
+    "q17_prom_text" -> OracleSql.promTextOracle(cfg.histogramBuckets),
     "q16_grok_parse" -> {
       val p = grokPatternUnnamed.replace("'", "''")
       def f(i: Int) =

@@ -431,7 +431,12 @@ object Aggregates {
       labelOf("service", col("service")),
       labelOf("asserts_request_context", col("request_context")),
       labelOf("win_start_us", col("win_start_us")),
-      labelOf("le", col("le"))
+      // exposition convention: the top bucket is le="+Inf"
+      labelOf(
+        "le",
+        when(col("le") === Double.PositiveInfinity, lit("+Inf"))
+          .otherwise(col("le").cast("string"))
+      )
     )
     table.select(
       concat(
