@@ -241,6 +241,13 @@ object SparkEntry {
     // deterministic hash-based train/val/test split
     "q29_train_split" -> ((s, dir) =>
       Dedup.trainSplit(docs(s, dir)).orderBy("doc_id")),
+    // deterministic per-language stratified sampling (corpus rebalance)
+    "q37_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), Map("en" -> 0.3, "de" -> 0.8))
+        .orderBy("doc_id")),
+    // intra-document repetition signal (total vs distinct w-grams)
+    "q38_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
     // sequence packing: concatenate-then-chunk layout into fixed
     // token-capacity training sequences, sharded for parallelism
     "q34_pack" -> ((s, dir) =>
@@ -557,6 +564,29 @@ object SparkEntry {
     "q42_winnowing" ->
       (OracleSql.winnowingCte + """
         |SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp""".stripMargin),
+    "q37_stratified" ->
+      """SELECT doc_id, lang,
+        |  CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat')
+        |        & CAST(9223372036854775807 AS UBIGINT)) % 1000 AS BIGINT) AS bucket,
+        |  CASE WHEN lang = 'de' THEN 0.8 WHEN lang = 'en' THEN 0.3 ELSE 1.0 END AS sample_rate,
+        |  (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat')
+        |         & CAST(9223372036854775807 AS UBIGINT)) % 1000 AS BIGINT)
+        |   < CAST(CASE WHEN lang = 'de' THEN 0.8 WHEN lang = 'en' THEN 0.3 ELSE 1.0 END * 1000.0 AS BIGINT)) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  END AS rep_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
     "q34_pack" ->
       """WITH p AS (
         |  SELECT doc_id, doc_id // 100 AS shard,

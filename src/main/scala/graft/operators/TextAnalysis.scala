@@ -115,6 +115,80 @@ object TextAnalysis {
     * the canonical key for exact dedup and incremental re-ingest. md5 so
     * the DuckDB oracle reproduces it byte-for-byte.
     */
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * through a stable hash bucket (md5lower64, the cross-engine hash),
+    * so the sample is reproducible under re-runs, repartitioning, and
+    * corpus growth — the rebalancing step a multilingual training mix
+    * needs (downsample the head language, keep the tail). Languages not
+    * in `rates` keep everything. Pure projection, no shuffle.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      salt: String = "strat"
+  ): DataFrame = {
+    graft.functions.Hash64.register(docs.sparkSession)
+    val bucket = pmod(
+      graft.functions.Hash64
+        .md5lower64(concat(col("doc_id").cast("string"), lit(":" + salt)))
+        .bitwiseAND(lit(Long.MaxValue)),
+      lit(1000L)
+    )
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      bucket.as("bucket"),
+      rate.as("sample_rate"),
+      (bucket < (rate * 1000.0).cast("long")).as("kept")
+    )
+  }
+
+  /** Intra-document repetition statistics (the Gopher-style repetition
+    * signal): total vs distinct w-gram counts and the repeated-gram
+    * ratio. Uses the one-pass posexplode+lead gram derivation (no
+    * interpreted HOF re-tokenization); documents shorter than w tokens
+    * have zero grams and ratio 0.
+    */
+  def repetitionStats(docs: DataFrame, w: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))
+    )
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until w).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t$o", lead(col("tok"), o).over(win))
+    }
+    val grams = leads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*).as("gram")
+      )
+    val stats = grams
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct("gram").as("n_distinct_grams")
+      )
+    docs
+      .select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(
+            lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double")
+          )
+          .as("rep_ratio")
+      )
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 

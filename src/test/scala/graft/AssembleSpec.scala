@@ -47,6 +47,34 @@ class AssembleSpec extends SparkTestBase {
     }
   }
 
+  test("stratifiedSample: keep fraction tracks the rate; membership stable under corpus growth") {
+    val docs = (0L until 2000L).map(i => (i, "t")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val s = graft.operators.TextAnalysis.stratifiedSample(docs, Map("en" -> 0.3))
+    val keptFrac = s.filter(col("kept")).count().toDouble / 2000.0
+    assert(math.abs(keptFrac - 0.3) < 0.05)
+    // growth invariance: the same doc_ids stay kept when the corpus doubles
+    val bigger = (0L until 4000L).map(i => (i, "t")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val keptSmall = s.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBig = graft.operators.TextAnalysis.stratifiedSample(bigger, Map("en" -> 0.3))
+      .filter(col("kept") && col("doc_id") < 2000).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSmall == keptBig)
+  }
+
+  test("repetitionStats: repeated grams raise the ratio; short docs are zero") {
+    val docs = Seq(
+      (0L, "a b a b a b"), // grams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (1L, "one two three four"), // all distinct
+      (2L, "x")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.repetitionStats(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(0L) == (4L, 2L, 0.5))
+    assert(r(1L) == (2L, 2L, 0.0))
+    assert(r(2L) == (0L, 0L, 0.0))
+  }
+
   test("decontaminationPairs: a test doc sharing a long substring with a train doc is flagged") {
     // find doc_ids landing in test vs train under the hash split
     val ids = Dedup.trainSplit(docsDf((0L to 200L).map(i => (i, "x"))).select("doc_id", "text"))
