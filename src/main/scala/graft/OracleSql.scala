@@ -20,11 +20,11 @@ object OracleSql {
       |  SELECT *,
       |    CASE WHEN turn_idx = 0 THEN 'root' WHEN role = 'user' THEN 'entry'
       |         WHEN role = 'tool' THEN 'exit' ELSE 'internal' END AS span_class,
-      |    CAST(regexp_extract(text, 'status=([0-9]+)', 1) AS INT) AS status_code,
+      |    CAST(NULLIF(regexp_extract(text, 'status=([0-9]+)', 1), '') AS INT) AS status_code,
       |    NULLIF(regexp_extract(text, '(https?://[^ ]+)', 1), '') AS url,
       |    NULLIF(regexp_extract(text, 'call=([A-Za-z0-9_-]+)\.', 1), '') AS call_service,
       |    NULLIF(regexp_extract(text, 'call=[A-Za-z0-9_-]+\.([A-Za-z0-9_]+)', 1), '') AS call_method,
-      |    CAST(regexp_extract(text, 'dur=([0-9]+)ms', 1) AS BIGINT) AS dur_ms
+      |    CAST(NULLIF(regexp_extract(text, 'dur=([0-9]+)ms', 1), '') AS BIGINT) AS dur_ms
       |  FROM transcripts
       |),
       |parsed2 AS (
@@ -288,6 +288,8 @@ object OracleSql {
       .mkString("CASE ", " ", " ELSE 'infinity'::DOUBLE END")
     query(
       s"""SELECT line FROM (
+         |  SELECT 'asserts_otelcol_build_info{version="${graft.operators.Aggregates.BuildVersion}"} 1.0' AS line
+         |  UNION ALL
          |  SELECT 'asserts_trace_count_total{asserts_env="' || env || '",asserts_site="' || site
          |    || '"} ' || CAST(CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS VARCHAR) AS line
          |  FROM routing GROUP BY env, site

@@ -170,7 +170,8 @@ object SparkEntry {
               Aggregates.sampledSpanCounts(e, r)
             )
             .filter(col("metric_name").isin(
-              "asserts_trace_count_total", "otel_span_latency_seconds_bucket"))
+              "asserts_trace_count_total", "otel_span_latency_seconds_bucket",
+              "asserts_otelcol_build_info"))
         )
         .orderBy("line")
     }),

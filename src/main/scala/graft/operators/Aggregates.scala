@@ -354,13 +354,17 @@ object Aggregates {
     * Amdahl term of the whole job, so fewer actions is a scaling feature,
     * not just tidiness.
     */
+  /** Version label of the build-info gauge (metrics.go:105-121). */
+  val BuildVersion = "0.1.0"
+
   def prometheusTable(
       traceCounts: DataFrame,
       sampledCounts: DataFrame,
       spanCounts: DataFrame,
       red: DataFrame,
       histogram: DataFrame,
-      sampledSpanCounts: DataFrame = null
+      sampledSpanCounts: DataFrame = null,
+      version: String = BuildVersion
   ): DataFrame = {
     val n = lit(null).cast("string")
     val nl = lit(null).cast("long")
@@ -368,7 +372,7 @@ object Aggregates {
         df: DataFrame, metric: String, value: Column,
         sampleType: Column = null, namespace: Column = null, service: Column = null,
         requestContext: Column = null, winStart: Column = null, le: Column = null,
-        env: Column = null, site: Column = null
+        env: Column = null, site: Column = null, ver: Column = null
     ): DataFrame =
       df.select(
         lit(metric).as("metric_name"),
@@ -380,8 +384,15 @@ object Aggregates {
         Option(requestContext).getOrElse(n).as("request_context"),
         Option(winStart).getOrElse(nl).as("win_start_us"),
         Option(le).getOrElse(lit(null).cast("double")).as("le"),
+        Option(ver).getOrElse(n).as("version"),
         value.cast("double").as("value")
       )
+    // the build-info gauge: one constant row, value 1
+    // (asserts_otelcol_build_info{version}, metrics.go:105-121,58)
+    val buildInfo = shape(
+      traceCounts.sparkSession.range(1).toDF(),
+      "asserts_otelcol_build_info", lit(1.0), ver = lit(version))
+    buildInfo.unionByName(
     shape(traceCounts, "asserts_trace_count_total", col("trace_count"),
       env = col("env"), site = col("site"))
       .unionByName(shape(sampledCounts, "asserts_trace_sampled_count_total", col("sampled_count"),
@@ -403,7 +414,7 @@ object Aggregates {
           .map(ssc => shape(ssc, "asserts_span_sampled_count_total", col("sampled_span_count"),
             env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service")))
           .getOrElse(shape(spanCounts.filter(lit(false)), "asserts_span_sampled_count_total", col("span_count"),
-            env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service"))))
+            env = col("env"), site = col("site"), namespace = col("namespace"), service = col("service")))))
   }
 
   /** Render the long-format metric relation ([[prometheusTable]]) into
@@ -436,7 +447,8 @@ object Aggregates {
         "le",
         when(col("le") === Double.PositiveInfinity, lit("+Inf"))
           .otherwise(col("le").cast("string"))
-      )
+      ),
+      labelOf("version", col("version"))
     )
     table.select(
       concat(

@@ -78,11 +78,14 @@ object Parse {
     // Enrich.withServiceDim — the resource-attribute analogue)
     val classified = withSpanClass(turns)
       .withColumn("url", nullif(regexp_extract(col("text"), "(https?://[^ ]+)", 1), lit("")))
-      .withColumn("status_code", regexp_extract(col("text"), "status=([0-9]+)", 1).cast("int"))
+      // nullif before cast: regexp_extract yields "" on no match, and a
+      // bare ANSI cast of "" would FAIL THE JOB on the first malformed
+      // row — null is the correct parse result for an absent signal
+      .withColumn("status_code", nullif(regexp_extract(col("text"), "status=([0-9]+)", 1), lit("")).cast("int"))
       .withColumn("status_str", nullif(regexp_extract(col("text"), "status=([0-9]+)", 1), lit("")))
       .withColumn("call_service", nullif(regexp_extract(col("text"), "call=([A-Za-z0-9_-]+)\\.", 1), lit("")))
       .withColumn("call_method", nullif(regexp_extract(col("text"), "call=[A-Za-z0-9_-]+\\.([A-Za-z0-9_]+)", 1), lit("")))
-      .withColumn("dur_ms", regexp_extract(col("text"), "dur=([0-9]+)ms", 1).cast("long"))
+      .withColumn("dur_ms", nullif(regexp_extract(col("text"), "dur=([0-9]+)ms", 1), lit("")).cast("long"))
       .withColumn("latency_secs", col("dur_ms").cast("double") / 1000.0)
       .withColumn(
         "request_type",

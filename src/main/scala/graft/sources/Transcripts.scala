@@ -63,7 +63,7 @@ object Transcripts {
 
   def deriveTurns(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+    val k = nullif(regexp_extract(col("props"), "([0-9]+)", 1), lit("")).cast("int")
     // events.ts is parquet TIMESTAMP_NTZ; session TZ is UTC so the cast is
     // wall-clock-identical and matches DuckDB's naive epoch_us
     val day = expr("unix_micros(cast(ts as timestamp)) div 86400000000")
@@ -101,7 +101,7 @@ object Transcripts {
   val duckDbCte: String =
     """WITH ev AS (
       |  SELECT *,
-      |    CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+      |    CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS INT) AS k,
       |    epoch_us(ts) // 86400000000 AS day,
       |    CASE event_type WHEN 'signup' THEN 'auth' WHEN 'view' THEN 'catalog'
       |      WHEN 'click' THEN 'web' WHEN 'purchase' THEN 'payments'

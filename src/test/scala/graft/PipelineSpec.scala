@@ -24,6 +24,29 @@ class PipelineSpec extends SparkTestBase {
     assert(out.latencyHistogram.count() > 0)
   }
 
+  test("degenerate rows (null text/tool/role, empty batch) survive the full pipeline") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val degenerate = Seq(
+      ("c1", 0, null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("c1", 1, "user", null.asInstanceOf[String], "web"),
+      ("c2", 0, null.asInstanceOf[String], "call=web.m1 url=https://h/a status=200 dur=5ms", "web"),
+      ("c3", 5, "tool", "", "")
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val out = Pipeline.run(spark, degenerate, cfg, cache = false)
+    // no crash anywhere in the DAG; every conversation still accounted for
+    assert(out.routing.count() <= 3)
+    out.routedTurns.count()
+    out.spanCounts.count()
+    out.latencyHistogram.count()
+    // and an empty batch produces empty outputs, not an error
+    val empty = Pipeline.run(spark, degenerate.filter(lit(false)), cfg, cache = false)
+    assert(empty.routing.count() == 0 && empty.routedTurns.count() == 0)
+    assert(empty.latencyHistogram.count() == 0)
+  }
+
   test("fan-out writes sinks + metrics with per-file lineage and observed counters") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val turns = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
