@@ -263,6 +263,10 @@ object SparkEntry {
     "q36_decontam" -> ((s, dir) =>
       Dedup.decontaminationPairs(docs(s, dir))
         .orderBy("test_doc_id", "train_doc_id")),
+    // content-defined chunking: rolling-hash boundaries that resync
+    // after edits; chunk hashes are the storage-dedup unit
+    "q39_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
     // ANN: exact brute-force cosine top-k (oracle-checked)
     "q30_ann_topk" -> ((s, dir) => {
       val emb = embs(s, dir)
@@ -565,6 +569,34 @@ object SparkEntry {
     "q42_winnowing" ->
       (OracleSql.winnowingCte + """
         |SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp""".stripMargin),
+    "q39_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(text) + 1)) AS INT) AS i, text
+        |  FROM documents WHERE len(text) > 0
+        |),
+        |fl AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i >= 8
+        |          AND ((md5_number_lower(substr(text, i - 7, 8))
+        |                & CAST(9223372036854775807 AS UBIGINT)) % 64) = 0
+        |         THEN 1 ELSE 0 END AS is_boundary
+        |  FROM pos
+        |),
+        |ch AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(CAST(sum(is_boundary) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_idx
+        |  FROM fl
+        |),
+        |sp AS (
+        |  SELECT doc_id, chunk_idx, min(i) AS chunk_start, max(i) - min(i) + 1 AS chunk_len
+        |  FROM ch GROUP BY 1, 2
+        |)
+        |SELECT s.doc_id, s.chunk_idx, s.chunk_start, s.chunk_len,
+        |  md5(substr(d.text, s.chunk_start, s.chunk_len)) AS chunk_hash
+        |FROM sp s JOIN documents d USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q37_stratified" ->
       """SELECT doc_id, lang,
         |  CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat')

@@ -276,6 +276,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Content-defined chunking (CDC): split each document into chunks at
+    * content-determined boundaries — a boundary closes after position i
+    * when the hash of the k-gram ending there lands in 1/divisor of the
+    * hash space — so an insertion shifts only the chunks it touches and
+    * boundaries RESYNC immediately after (fixed-size chunking shifts
+    * every later chunk). Emits per chunk its offset, length, and md5 —
+    * the storage-level dedup primitive: identical chunks across
+    * documents/versions share one hash.
+    *
+    * Scale shape: char-position explode (O(bytes) rows, per-doc bounded
+    * like winnowing), boundary flag via the native md5lower64, chunk ids
+    * by a running sum over (doc_id, i), then one groupBy per (doc,
+    * chunk) and a join back to slice + hash each chunk — all windows
+    * partition by doc_id, so distribution is per-document.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Hash64.register(docs.sparkSession)
+    val n = length(col("text"))
+    val positions = docs
+      .filter(n > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), n)).as("i"))
+    // a position ends a chunk when the k-gram ENDING at it hashes to the
+    // boundary class (positions < k never do — the window is incomplete)
+    val flagged = positions
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("i"),
+        (col("i") >= k &&
+          pmod(
+            graft.functions.Hash64
+              .md5lower64(substring(col("text"), (col("i") - (k - 1)).cast("int"), lit(k)))
+              .bitwiseAND(lit(Long.MaxValue)),
+            lit(divisor.toLong)
+          ) === 0L).cast("int").as("is_boundary")
+      )
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkIds = flagged
+      .withColumn("chunk_idx", coalesce(sum("is_boundary").over(w), lit(0L)))
+    val spans = chunkIds
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min("i").as("chunk_start"), (max("i") - min("i") + 1).as("chunk_len"))
+    spans
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("chunk_start"),
+        col("chunk_len"),
+        md5(substring(col("text"), col("chunk_start").cast("int"), col("chunk_len").cast("int")))
+          .as("chunk_hash")
+      )
+  }
+
   /** Transitive duplicate clusters: connected components over a near-dup
     * edge set (any of the pair operators here) via min-label propagation —
     * the step a real dedup pipeline needs to pick ONE survivor per group

@@ -75,6 +75,33 @@ class AssembleSpec extends SparkTestBase {
     assert(r(2L) == (0L, 0L, 0.0))
   }
 
+  test("cdcChunks: chunks tile the document; boundaries resync after an insertion") {
+    val base = (1 to 40).map(i => f"segment$i%02d content word").mkString(" ")
+    val edited = "INSERTED PREFIX " + base // early insertion
+    val docs = docsDf(Seq((0L, base), (1L, edited), (2L, "")))
+    val chunks = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // tiling: contiguous, starts at 1, lengths sum to the doc length
+    Seq(0L -> base, 1L -> edited).foreach { case (id, text) =>
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1)
+      assert(cs.map(_._4).sum == text.length)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+    }
+    // empty docs contribute no chunks
+    assert(!chunks.exists(_._1 == 2L))
+    // resync: the edited doc shares most chunk HASHES with the original
+    // (only the chunks overlapping the insertion differ) — fixed-size
+    // chunking would shift and change every chunk hash
+    val h0 = chunks.filter(_._1 == 0L).map(_._5).toSet
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val shared = (h0 & h1).size
+    assert(shared >= h0.size - 2, s"only $shared of ${h0.size} chunk hashes survived the edit")
+  }
+
   test("decontaminationPairs: a test doc sharing a long substring with a train doc is flagged") {
     // find doc_ids landing in test vs train under the hash split
     val ids = Dedup.trainSplit(docsDf((0L to 200L).map(i => (i, "x"))).select("doc_id", "text"))
