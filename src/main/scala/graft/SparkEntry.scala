@@ -242,6 +242,9 @@ object SparkEntry {
     // deterministic hash-based train/val/test split
     "q29_train_split" -> ((s, dir) =>
       Dedup.trainSplit(docs(s, dir)).orderBy("doc_id")),
+    // PII pattern counts + typed-placeholder scrubbing (redaction pass)
+    "q43_pii" -> ((s, dir) =>
+      TextAnalysis.piiStats(docs(s, dir)).orderBy("doc_id")),
     // deterministic per-language stratified sampling (corpus rebalance)
     "q37_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir), Map("en" -> 0.3, "de" -> 0.8))
@@ -569,6 +572,20 @@ object SparkEntry {
     "q42_winnowing" ->
       (OracleSql.winnowingCte + """
         |SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp""".stripMargin),
+    "q43_pii" -> {
+      val pats = TextAnalysis.piiPatterns
+      val counts = pats
+        .map { case (n, p, _) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS n_$n" }
+        .mkString(",\n  ")
+      val scrub = pats.foldLeft("text") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $counts,
+         |  $scrub AS scrubbed_text,
+         |  text <> $scrub AS had_pii
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q39_cdc_chunks" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(unnest(range(1, len(text) + 1)) AS INT) AS i, text

@@ -189,6 +189,34 @@ object TextAnalysis {
       )
   }
 
+  /** PII-ish pattern detection + scrubbing — the redaction pass a
+    * training corpus runs before anything else. Patterns are kept to
+    * RE2-compatible syntax (no lookaround, no backreferences) so the
+    * Java-regex (Spark) and RE2 (DuckDB oracle) semantics coincide.
+    * Emits per-pattern match counts and the text with every match
+    * replaced by a typed placeholder; pure projection, no shuffle.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, placeholder)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+[0-9]{7,15}\\b", "[PHONE]")
+  )
+
+  def piiStats(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    docs.select(
+      col("doc_id") +: counts :+
+        scrubbed.as("scrubbed_text") :+
+        (col("text") =!= scrubbed).as("had_pii"): _*
+    )
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 

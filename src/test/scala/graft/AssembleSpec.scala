@@ -75,6 +75,19 @@ class AssembleSpec extends SparkTestBase {
     assert(r(2L) == (0L, 0L, 0.0))
   }
 
+  test("piiStats: planted PII counted and scrubbed with typed placeholders") {
+    val docs = docsDf(Seq(
+      (0L, "contact me at jane.doe+x@example.org or +14155550123 from 10.0.0.1 thanks"),
+      (1L, "clean text with no identifiers at all")
+    ))
+    val r = graft.operators.TextAnalysis.piiStats(docs).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1 && r(0).getInt(3) == 1)
+    assert(r(0).getString(4) == "contact me at [EMAIL] or [PHONE] from [IP] thanks")
+    assert(r(0).getBoolean(5))
+    assert(r(1).getInt(1) == 0 && !r(1).getBoolean(5))
+    assert(r(1).getString(4) == "clean text with no identifiers at all")
+  }
+
   test("cdcChunks: chunks tile the document; boundaries resync after an insertion") {
     val base = (1 to 40).map(i => f"segment$i%02d content word").mkString(" ")
     val edited = "INSERTED PREFIX " + base // early insertion
