@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.PipelineConfig
 import graft.operators.{Aggregates, Enrich, Route}
@@ -19,9 +19,11 @@ import graft.operators.{Aggregates, Enrich, Route}
   * Observability: the enriched scan carries an [[Observation]] with
   * per-stage row/error/slow counters (the reference's prometheus counters
   * on the ingest path, metrics.go:138-184) at zero extra passes; every
-  * sink write appends a lineage record (per output file row counts) to
-  * `_lineage.jsonl`, and `writeSinks(resume = true)` skips sinks already
-  * recorded — mid-pipeline resumability.
+  * sink write appends a lineage record to `_lineage.jsonl` — row counts
+  * observed ON the write plan itself (never a post-write rescan) plus the
+  * written files' names/sizes from fs metadata — and
+  * `writeSinks(resume = true)` skips sinks already recorded —
+  * mid-pipeline resumability.
   */
 final case class PipelineOutputs(
     enriched: DataFrame,
@@ -126,17 +128,25 @@ object Pipeline {
       case c => c.toString
     } + "\""
 
-  /** Per-output-file row counts of a written sink — the per-partition
-    * lineage record. */
-  private def fileLineage(spark: SparkSession, path: String): Seq[(String, Long)] =
-    spark.read
-      .parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .count()
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toSeq
-      .sortBy(_._1)
+  /** Written data files of a sink, from filesystem METADATA only (name +
+    * byte size) — the per-file half of the lineage record. Zero data
+    * reads: at 100 TB a post-write `spark.read.parquet(path)` rescan is a
+    * second full pass over everything just written; row counts instead
+    * ride an [[Observation]] on the write plan itself (the task-commit
+    * statistics shape — Iceberg snapshot summaries on a real cluster). */
+  private def listDataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += (st.getPath.toString -> st.getLen)
+    }
+    buf.sortBy(_._1).toSeq
+  }
 
   /** Fan-out sink writes from one cached intermediate: errors / slow /
     * normal routed turns + metric tables, each an ordered parquet write
@@ -150,18 +160,23 @@ object Pipeline {
       outDir: String,
       resume: Boolean = false,
       lineage: Boolean = true,
-      parallelWrites: Boolean = true
+      parallelWrites: Boolean = true,
+      writeMetrics: Boolean = true
   ): Map[String, Long] = {
     Files.createDirectories(Paths.get(outDir))
     val manifest = Paths.get(outDir, "_lineage.jsonl")
-    val done: Map[String, Long] =
+    // resume map: sink name -> its recorded count map. A legacy line
+    // missing the "counts" object is treated as not-done (the write is
+    // idempotent overwrite, so re-running it is safe and re-records).
+    val done: Map[String, Map[String, Long]] =
       if (resume && Files.exists(manifest))
         scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(manifest)).asScala
           .flatMap { line =>
             for {
               s <- "\"sink\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(line).map(_.group(1))
-              n <- "\"rows\":\\s*(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
-            } yield s -> n
+              c <- "\"counts\":\\s*\\{([^}]*)\\}".r.findFirstMatchIn(line).map(_.group(1))
+            } yield s -> "\"([^\"]+)\":\\s*(\\d+)".r
+              .findAllMatchIn(c).map(m => m.group(1) -> m.group(2).toLong).toMap
           }.toMap
       else Map.empty
 
@@ -169,21 +184,34 @@ object Pipeline {
     val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
     val manifestLock = new Object
 
-    def writeTarget(name: String, write: String => Unit): Long =
-      if (done.contains(name)) done(name)
-      else {
+    /** Execute one sink write whose row counts ride an Observation on the
+      * write plan (zero post-write data reads); append the lineage line
+      * (observed counts + file names/bytes from fs metadata only). */
+    def writeTarget(
+        name: String,
+        df: DataFrame,
+        counters: Seq[(String, Column)],
+        write: (DataFrame, String) => Unit
+    ): Map[String, Long] =
+      done.getOrElse(name, {
         wroteAny.set(true)
         val path = s"$outDir/$name"
-        write(path)
-        if (!lineage) 0L
-        else {
-          val files = fileLineage(spark, path)
-          val rows = files.map(_._2).sum
+        val obs = Observation()
+        val obsExprs = count(lit(1)).as("rows") +: counters.map { case (n, c) => c.as(n) }
+        val observed = df.observe(obs, obsExprs.head, obsExprs.tail: _*)
+        write(observed, path)
+        val metrics = obs.getAsJava
+        val counts = scala.jdk.CollectionConverters.MapHasAsScala(metrics).asScala.toMap
+          .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
+        if (lineage) {
+          val files = listDataFiles(spark, path)
           val filesJson = files
-            .map { case (f, n) => s"{${jstr("file")}: ${jstr(f)}, ${jstr("rows")}: $n}" }
+            .map { case (f, b) => s"{${jstr("file")}: ${jstr(f)}, ${jstr("bytes")}: $b}" }
             .mkString("[", ",", "]")
+          val countsJson = counts.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ",", "}")
           val line =
-            s"""{"sink": ${jstr(name)}, "rows": $rows, "n_files": ${files.size}, "files": $filesJson}"""
+            s"""{"sink": ${jstr(name)}, "rows": ${counts("rows")}, "n_files": ${files.size}, "counts": $countsJson, "files": $filesJson}"""
           manifestLock.synchronized {
             Files.writeString(
               manifest,
@@ -191,9 +219,9 @@ object Pipeline {
               StandardOpenOption.CREATE, StandardOpenOption.APPEND
             )
           }
-          rows
         }
-      }
+        counts
+      })
 
     // The two sink families are INDEPENDENT actions over the shared cached
     // intermediates, so submit them concurrently (a thread per action —
@@ -210,28 +238,34 @@ object Pipeline {
     // (sink=errors/slow/normal directories). Hash-repartition by
     // (sink, conv_id) + sortWithinPartitions keeps every conversation's
     // turns contiguous and in stable (conv_id, turn_idx) order per file
-    // without a global range sort.
-    def writeSinksTarget(): Long = writeTarget(
+    // without a global range sort. Per-sink row counts ride the write
+    // plan as observed conditional sums — no post-write rescan.
+    def writeSinksTarget(): Map[String, Long] = writeTarget(
       "sinks",
-      path =>
-        out.routedTurns
+      out.routedTurns,
+      Seq("errors", "slow", "normal").map(s =>
+        // coalesce: sum over an empty batch observes null, not 0
+        s"sink_$s" -> coalesce(sum(when(col("sink") === s, 1L).otherwise(0L)), lit(0L))),
+      (df, path) =>
+        df
           .repartition(col("sink"), col("conv_id"))
           .sortWithinPartitions("conv_id", "turn_idx")
           .write.mode("overwrite").partitionBy("sink").parquet(path)
     )
     // all metric tables in one long-format write (one action, one sink
     // table — the Prometheus-endpoint shape)
-    def writeMetricsTarget(): Long = writeTarget(
+    def writeMetricsTarget(): Map[String, Long] = writeTarget(
       "metrics",
-      path =>
-        Aggregates
-          .prometheusTable(
-            out.traceCounts, out.sampledTraceCounts, out.spanCounts,
-            out.redRollup, out.latencyHistogram, out.sampledSpanCounts)
-          .write.mode("overwrite").parquet(path)
+      Aggregates
+        .prometheusTable(
+          out.traceCounts, out.sampledTraceCounts, out.spanCounts,
+          out.redRollup, out.latencyHistogram, out.sampledSpanCounts),
+      Nil,
+      (df, path) => df.write.mode("overwrite").parquet(path)
     )
-    val metricsRows =
-      if (parallelWrites) {
+    val (sinkCounts, metricsCounts) =
+      if (!writeMetrics) (writeSinksTarget(), Map.empty[String, Long])
+      else if (parallelWrites) {
         val sinksF = Future(writeSinksTarget())
         val metricsF = Future(writeMetricsTarget())
         // await BOTH before rethrowing either failure: a detached write
@@ -240,22 +274,15 @@ object Pipeline {
         val sinksR = scala.util.Try(Await.result(sinksF, Duration.Inf))
         val metricsR = scala.util.Try(Await.result(metricsF, Duration.Inf))
         val m = metricsR.get
-        sinksR.get
-        m
+        (sinksR.get, m)
       } else {
-        writeSinksTarget()
-        writeMetricsTarget()
+        val s = writeSinksTarget()
+        (s, writeMetricsTarget())
       }
 
-    val sinkCounts =
-      if (!lineage) Seq.empty
-      else {
-        val perSink = spark.read.parquet(s"$outDir/sinks")
-          .groupBy("sink").count().collect()
-          .map(r => s"sink_${r.getString(0)}" -> r.getLong(1)).toMap
-        Seq("errors", "slow", "normal").map(s => s"sink_$s" -> perSink.getOrElse(s"sink_$s", 0L))
-      }
-    val counts = sinkCounts ++ Seq("metrics" -> metricsRows)
+    val counts =
+      Seq("errors", "slow", "normal").map(s => s"sink_$s" -> sinkCounts.getOrElse(s"sink_$s", 0L)) ++
+        (if (writeMetrics) Seq("metrics" -> metricsCounts.getOrElse("rows", 0L)) else Nil)
 
     // stage metrics observed on the enriched pass — only read when a write
     // actually executed the plan (Observation.get blocks otherwise)
