@@ -44,7 +44,8 @@ object StreamingPipeline {
       cfg: PipelineConfig = PipelineConfig.default,
       flushSeconds: Int = 30,
       configPath: Option[String] = None,
-      dimsDir: Option[String] = None
+      dimsDir: Option[String] = None,
+      metricsPerBatch: Boolean = true
   ): StreamingQuery =
     turnsStream.writeStream
       .outputMode(OutputMode.Update())
@@ -59,10 +60,69 @@ object StreamingPipeline {
           .map(d => graft.sources.Dims.load(spark, d))
           .getOrElse(graft.sources.Dims.default)
         val out = Pipeline.run(spark, batch, batchCfg, dims = batchDims)
-        Pipeline.writeSinks(out, s"$outDir/batch_$batchId")
+        Pipeline.writeSinks(out, s"$outDir/batch_$batchId", writeMetrics = metricsPerBatch)
         ()
       }
       .start()
+
+  /** The two live queries of the production wiring ([[startWithStatefulCap]]). */
+  final case class PipelineQueries(sinks: StreamingQuery, metrics: StreamingQuery) {
+    def processAllAvailable(): Unit = { sinks.processAllAvailable(); metrics.processAllAvailable() }
+    def stop(): Unit = {
+      try sinks.stop()
+      finally metrics.stop()
+    }
+  }
+
+  /** Production wiring with the CROSS-BATCH stateful metric cap: the
+    * per-flush routing/sink fan-out keeps its per-micro-batch semantics
+    * (queues drain and clear on every flush, service_queue.go:30-37 — so
+    * foreachBatch re-running the batch pipeline is exact), while the
+    * METRIC path runs as one continuous stateful DAG — enrichment ->
+    * [[metricCapStream]] (the TTL'd request-context cache,
+    * metric_helper.go:91-141, its state persisted across micro-batches in
+    * the streaming checkpoint) -> watermarked windowed RED rollup ->
+    * appended parquet under `outDir/metrics`. A long-running stream's
+    * metric cardinality is therefore governed by the TTL cache ACROSS
+    * flushes — a context admitted in one micro-batch stays admitted in
+    * the next, an over-cap newcomer is refused even across a flush
+    * boundary, and an idle context is evicted then re-admitted — instead
+    * of the cap resetting every 30 s.
+    *
+    * The metric DAG's cap/window parameters are fixed at start (a
+    * continuous plan cannot hot-swap them); the routing path still
+    * hot-refreshes config/dims per batch via `configPath`/`dimsDir`.
+    */
+  def startWithStatefulCap(
+      spark: SparkSession,
+      turnsStream: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig = PipelineConfig.default,
+      flushSeconds: Int = 30,
+      configPath: Option[String] = None,
+      dimsDir: Option[String] = None,
+      windowMinutes: Int = 5,
+      latenessMinutes: Int = 10,
+      stateTtl: Boolean = true
+  ): PipelineQueries = {
+    val sinksQ =
+      start(spark, turnsStream, outDir, cfg, flushSeconds, configPath, dimsDir,
+        metricsPerBatch = false)
+    val dims = dimsDir
+      .map(d => graft.sources.Dims.load(spark, d))
+      .getOrElse(graft.sources.Dims.default)
+    val enrichedStream = graft.operators.Enrich.enriched(turnsStream, spark, cfg, dims)
+    val metricsQ = streamingCappedRedRollup(
+      spark, enrichedStream, cfg, windowMinutes, latenessMinutes, stateTtl)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/metrics")
+      .option("checkpointLocation", s"$outDir/_metrics_checkpoint")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(s"$flushSeconds seconds"))
+      .start()
+    PipelineQueries(sinksQ, metricsQ)
+  }
 
   /** Event-time windowed RED rollup as a PROPER streaming aggregate:
     * watermark + tumbling window + partial-aggregable sums, the

@@ -173,6 +173,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("production wiring: TTL cap governs metric cardinality ACROSS micro-batches") {
+    // startWithStatefulCap: sinks flush per batch, but the metric path is
+    // ONE continuous stateful DAG — with limit 1, the context admitted in
+    // batch 1 must STAY admitted in batch 2 while a fresh over-cap
+    // context is refused across the flush boundary, and after a full TTL
+    // idle the slot frees and the late context IS admitted
+    // (metric_helper.go:91-141; a per-batch cap would reset every flush)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_statefulcap").toString
+    val cfg = graft.model.PipelineConfig.default
+      .copy(limitPerService = 1, requestContextCacheTTLMinutes = 60)
+    val input = MemoryStream[graft.model.Turn]
+    val qs = StreamingPipeline.startWithStatefulCap(
+      spark, input.toDF(), dir, cfg, flushSeconds = 1, stateTtl = false)
+    try {
+      // batch 1: /a takes web's only slot
+      input.addData(turn("c1", 1, "user", "web", durMs = 100, url = "https://h/a", tSecs = 0))
+      qs.processAllAvailable()
+      // batch 2 (NEW micro-batch): /b must be refused — /a's admission
+      // survived the flush boundary; /a hits again (TTL refresh)
+      input.addData(
+        turn("c2", 1, "user", "web", durMs = 300, url = "https://h/b", tSecs = 60),
+        turn("c3", 1, "user", "web", durMs = 100, url = "https://h/a", tSecs = 120))
+      qs.processAllAvailable()
+      // batch 3: 2h later /a has idled past the 60-min TTL -> evicted;
+      // /b admitted into the freed slot; watermark passes the early window
+      input.addData(turn("c4", 1, "user", "web", durMs = 50, url = "https://h/b", tSecs = 7260))
+      qs.processAllAvailable()
+      // batch 4: advance the watermark far enough to finalize /b's window
+      input.addData(turn("c5", 1, "user", "web", durMs = 10, url = "https://h/a", tSecs = 14400))
+      qs.processAllAvailable()
+    } finally qs.stop()
+    val metric = spark.read.parquet(s"$dir/metrics")
+      .select("request_context", "requests").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // [0,5)min window: ONLY /a (c1 + c3), /b refused across the boundary;
+    // [120,125)min window: /b admitted after /a's eviction
+    assert(metric == Set(("/a", 2L), ("/b", 1L)))
+    // the per-flush sink fan-out still ran per micro-batch, without a
+    // per-batch metrics table (the stateful stream owns the metric path)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/batch_0/sinks")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/batch_0/metrics")))
+  }
+
   test("config hot-refresh: a threshold change between micro-batches changes routing") {
     // mirrors config_refresh.go:28-84 listener semantics: the YAML is
     // re-read per batch, so the same turn routes 'normal' under a high
