@@ -107,10 +107,13 @@ object ConfigLoader {
     JobConfig(cfg, if (spanAttrRules.nonEmpty) spanAttrRules else parseLegacyRules(p), specified)
   }
 
-  /** Reference span kinds -> transcript span_class domain. */
+  /** Reference span kinds -> transcript span_class domain: Consumer is an
+    * entry kind and Producer an exit kind exactly like Server/Client
+    * (utils.go:128-135 isEntry/isExit kind sets; rule span_kind gating
+    * accepts any kind string, custom_attribute.go:79-83). */
   private def normKind(k: String): String = k match {
-    case "Server" => "entry"
-    case "Client" => "exit"
+    case "Server" | "Consumer" => "entry"
+    case "Client" | "Producer" => "exit"
     case "Internal" => "internal"
     case other => other
   }

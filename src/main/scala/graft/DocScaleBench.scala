@@ -32,7 +32,7 @@ object DocScaleBench {
       val t0 = System.nanoTime()
       val n = f
       results(name) = (System.nanoTime() - t0) / 1e9
-      System.err.println(s"[docscale] $name: $n rows in ${results(name)}%s")
+      System.err.println(f"[docscale] $name: $n rows in ${results(name)}%.2fs")
     }
 
     t("exact_dedup") { Dedup.exact(docs).filter(col("is_duplicate")).count() }

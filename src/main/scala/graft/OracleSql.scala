@@ -291,12 +291,12 @@ object OracleSql {
          |  SELECT 'asserts_otelcol_build_info{version="${graft.operators.Aggregates.BuildVersion}"} 1.0' AS line
          |  UNION ALL
          |  SELECT 'asserts_trace_count_total{asserts_env="' || env || '",asserts_site="' || site
-         |    || '"} ' || CAST(CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS VARCHAR) AS line
+         |    || '"} ' || CAST(CAST(count(*) AS BIGINT) AS VARCHAR) || '.0' AS line
          |  FROM routing GROUP BY env, site
          |  UNION ALL
          |  SELECT 'otel_span_latency_seconds_bucket{service="' || service || '",le="'
          |    || CASE WHEN isinf(le) THEN '+Inf' ELSE CAST(le AS VARCHAR) END
-         |    || '"} ' || CAST(CAST(cumulative_count AS DOUBLE) AS VARCHAR) AS line
+         |    || '"} ' || CAST(cumulative_count AS VARCHAR) || '.0' AS line
          |  FROM (
          |    SELECT service, le,
          |      CAST(sum(bucket_count) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cumulative_count

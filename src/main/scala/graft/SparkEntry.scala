@@ -100,9 +100,11 @@ object SparkEntry {
         .routedTurns(transcripts(s, dir), routing(s, dir))
         .select("conv_id", "turn_idx", "role", "text", "tool", "sink", "sample_type")
         .orderBy("sink", "conv_id", "turn_idx")),
-    // G4 trace counters
+    // G4 trace counters — from the conv fold only (Route.convDims): the
+    // cap/sampling/top-K window stages preserve rows and add nothing the
+    // counter reads, so the standalone query skips them
     "q06_trace_counts" -> ((s, dir) =>
-      Aggregates.traceCounts(routing(s, dir)).orderBy("env", "site")),
+      Aggregates.traceCounts(Route.convDims(enriched(s, dir))).orderBy("env", "site")),
     "q07_sampled_counts" -> ((s, dir) =>
       Aggregates
         .sampledTraceCounts(routing(s, dir))
@@ -156,18 +158,29 @@ object SparkEntry {
     // (metrics_exporter.go scrape shape) — restricted to integer-valued
     // families so double-to-string formatting is cross-engine exact
     "q17_prom_text" -> ((s, dir) => {
-      val r = routing(s, dir)
+      // Serve the scrape's surviving families (the metric_name filter
+      // below constant-folds every other union arm to empty) from the
+      // CHEAPEST sufficient relations: the trace counter reads the
+      // conv-level fold ONLY (Route.convDims — no cap/sampling/top-K
+      // windows, which preserve rows and add nothing the counter reads),
+      // the histogram its one fine rollup. The two surviving arms stay
+      // UNCACHED on purpose: they are independent AQE stages that scan
+      // concurrently, which measured FASTER at sf0.1 than serializing on
+      // a shared cached enriched relation (cache fill blocks both arms;
+      // an interleaved A/B read cached ~9.6-10.6 s vs uncached recompute
+      // ~6.6-8.5 s on the same box session).
       val e = enriched(s, dir)
+      val conv = Route.convDims(e)
       Aggregates
         .prometheusText(
           Aggregates
             .prometheusTable(
-              Aggregates.traceCounts(r),
-              Aggregates.sampledTraceCounts(r),
+              Aggregates.traceCounts(conv),
+              Aggregates.sampledTraceCounts(Route.convRouting(e, cfg)),
               Aggregates.spanCounts(e),
               Aggregates.redRollup(e),
               Aggregates.latencyHistogram(e, cfg),
-              Aggregates.sampledSpanCounts(e, r)
+              Aggregates.sampledSpanCounts(e, Route.convRouting(e, cfg))
             )
             .filter(col("metric_name").isin(
               "asserts_trace_count_total", "otel_span_latency_seconds_bucket",
@@ -621,7 +634,7 @@ object SparkEntry {
         |  CASE WHEN lang = 'de' THEN 0.8 WHEN lang = 'en' THEN 0.3 ELSE 1.0 END AS sample_rate,
         |  (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat')
         |         & CAST(9223372036854775807 AS UBIGINT)) % 1000 AS BIGINT)
-        |   < CAST(CASE WHEN lang = 'de' THEN 0.8 WHEN lang = 'en' THEN 0.3 ELSE 1.0 END * 1000.0 AS BIGINT)) AS kept
+        |   < CAST(round(CASE WHEN lang = 'de' THEN 0.8 WHEN lang = 'en' THEN 0.3 ELSE 1.0 END * 1000.0) AS BIGINT)) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q38_repetition" ->
       """SELECT doc_id,

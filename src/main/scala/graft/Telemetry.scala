@@ -31,23 +31,26 @@ object Telemetry {
     * the metric FIELD name (stable across operator instantiations). */
   final class Collector extends QueryExecutionListener {
     val metrics = new scala.collection.concurrent.TrieMap[String, Long]()
+    // monotone update counter: a late event re-putting an EXISTING key
+    // leaves the map size unchanged, so size-stability is not quiescence
+    private val updates = new java.util.concurrent.atomic.AtomicLong(0)
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       qe.observedMetrics.values.foreach { row =>
         row.schema.fieldNames.zip(row.toSeq).foreach {
-          case (f, v: Long) => metrics.put(f, v)
-          case (f, v: java.lang.Number) => metrics.put(f, v.longValue())
+          case (f, v: Long) => metrics.put(f, v); updates.incrementAndGet()
+          case (f, v: java.lang.Number) => metrics.put(f, v.longValue()); updates.incrementAndGet()
           case _ => ()
         }
       }
     override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
 
-    /** Listener delivery is async; settle = wait until no new metrics
-      * arrive for one poll interval (bounded). */
+    /** Listener delivery is async; settle = wait until no new PUTS (not
+      * just new keys) arrive for one poll interval (bounded). */
     def settled(maxWaitMs: Long = 3000): Map[String, Long] = {
-      var last = -1
+      var last = -1L
       var waited = 0L
-      while (metrics.size != last && waited < maxWaitMs) {
-        last = metrics.size
+      while (updates.get() != last && waited < maxWaitMs) {
+        last = updates.get()
         Thread.sleep(200)
         waited += 200
       }

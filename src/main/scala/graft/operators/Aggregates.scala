@@ -102,7 +102,12 @@ object Aggregates {
       cfg: PipelineConfig = PipelineConfig.default,
       windowMinutes: Int = 5
   ): DataFrame =
-    capRollup(fineRollupRaw(enriched, cfg, windowMinutes), cfg)
+    // cache the RAW aggregate (tiny — one row per fine group): the cap dim
+    // re-aggregates the rollup itself, and WITHOUT the cache Catalyst's
+    // column pruning specializes that branch into a SECOND span-level
+    // aggregation over the whole enrich DAG (only the source exchange is
+    // reused — plan-audited; measured ~2x standalone q09/q13 cost)
+    capRollup(fineRollupRaw(enriched, cfg, windowMinutes).cache(), cfg)
 
   /** The UNCAPPED fine rollup, carrying service_key and each group's min
     * event time — the cacheable intermediate the cap dim and every metric
@@ -211,6 +216,10 @@ object Aggregates {
         max(col("latency_secs")).as("lat_max"),
         min(col("ts")).as("ts_min")
       )
+      // same cached-aggregate shape as fineRollup: the per-ttl-window cap
+      // dim re-aggregates this relation, and pruning would otherwise
+      // specialize that branch into a second span-level pass
+      .cache()
     val admitted =
       firstSeenRank(raw, Seq("service_key", "ttl_win"), "request_context", "ts_min", "ctx_rank")
         .filter(col("ctx_rank") <= cfg.limitPerService)
@@ -331,6 +340,10 @@ object Aggregates {
           labels.map { case (n, c) => c.as(n) }: _*
       )
       .agg(count(lit(1)).as("bucket_count"), min(col("ts")).as("ts_min"))
+      // cached for the same reason as fineRollup: the first-seen cap dim
+      // below re-aggregates this relation (pruning would specialize a
+      // second full span-level aggregation branch otherwise)
+      .cache()
     val admitted = firstSeenRank(rawAll, "service_key", "request_context", "ts_min", "ctx_rank")
       .filter(col("ctx_rank") <= cfg.limitPerService)
       .select("service_key", "request_context")
@@ -450,13 +463,23 @@ object Aggregates {
       ),
       labelOf("version", col("version"))
     )
+    // integer-valued samples render as "<n>.0" explicitly: Spark's
+    // double-to-string cast flips to scientific notation at >= 1e7
+    // ("1.0E7") while other engines (and scrape parsers' expectations)
+    // print "10000000.0" — counters at the 100M-span scale cross that
+    // threshold, so the long-cast path keeps the exposition exact at any
+    // magnitude (the guard keeps the cast inside exact-double range)
+    val v = col("value")
+    val valueStr =
+      when(abs(v) < 1e15 && v === floor(v), concat(v.cast("long").cast("string"), lit(".0")))
+        .otherwise(v.cast("string"))
     table.select(
       concat(
         col("metric_name"),
         lit("{"),
         array_join(filter(labels, _.isNotNull), ","),
         lit("} "),
-        col("value").cast("string")
+        valueStr
       ).as("line")
     )
   }

@@ -162,7 +162,13 @@ object Dedup {
   /** Per-doc LSH bands: (band_idx, band_key) where band_key concatenates
     * the band's minhash components. */
   def minhashBands(docs: DataFrame, w: Int = 3): DataFrame =
-    minhashSigDf(docs, w)
+    minhashBandsFromSig(minhashSigDf(docs, w))
+
+  /** Band derivation from an existing signature relation — lets a caller
+    * cache the shingle->signature DAG once and reuse it for both the band
+    * join and the signature-compare sides (see [[minhashLshPairs]]). */
+  def minhashBandsFromSig(sig: DataFrame): DataFrame =
+    sig
       .select(
         col("doc_id"), col("sig"),
         explode(
@@ -482,8 +488,11 @@ object Dedup {
     * bucket; estimate >= minEstimate.
     */
   def minhashLshPairs(docs: DataFrame, w: Int = 3, minEstimate: Double = 0.5): DataFrame = {
-    val sig = minhashSigDf(docs, w)
-    val bands = minhashBands(docs, w).select("doc_id", "band_idx", "band_key")
+    // cache the signature relation: it feeds the band self-join AND both
+    // signature-compare join sides — uncached, the shingle->signature DAG
+    // would execute three times (tiny rows: doc_id + NumHashes hashes)
+    val sig = minhashSigDf(docs, w).cache()
+    val bands = minhashBandsFromSig(sig).select("doc_id", "band_idx", "band_key")
     val cand = graft.Telemetry.observeCount(
       bands.as("a")
         .join(

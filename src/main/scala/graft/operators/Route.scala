@@ -128,8 +128,15 @@ object Route {
     * `sample_type` (error/slow/normal/null), `sink`
     * (errors/slow/normal/null) and the routed key columns.
     */
-  def convRouting(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
-    val conv = convFold(withSpanFlag(withSegmentInfo(enriched)))
+  /** Conversation-level fold ONLY — one row per conversation with its
+    * picked main-span dims, BEFORE the cap / sampling / top-K stages.
+    * Row-identical to [[convRouting]] output (every later stage only adds
+    * columns: the rank dim join matches all rows by construction and the
+    * windows are projections), so consumers that need conversation rows
+    * but no routing decision — the trace counter, q17's scrape — read
+    * this and skip the window stages entirely. */
+  def convDims(enriched: DataFrame): DataFrame =
+    convFold(withSpanFlag(withSegmentInfo(enriched)))
       .withColumn("picked", coalesce(col("first_flag"), col("first_seg")))
       .filter(col("picked").isNotNull) // conversations with no main span anywhere are skipped
       .select(
@@ -146,6 +153,9 @@ object Route {
         col("picked").getField("namespace").as("namespace"),
         col("picked").getField("service").as("service")
       )
+
+  def convRouting(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
+    val conv = convDims(enriched)
 
     // Request-cardinality cap: rank distinct request contexts per entity by
     // first-seen (min main_ts, then request for determinism); requests

@@ -142,7 +142,9 @@ object TextAnalysis {
       col("lang"),
       bucket.as("bucket"),
       rate.as("sample_rate"),
-      (bucket < (rate * 1000.0).cast("long")).as("kept")
+      // round() on both engines: a truncating cast disagrees with the
+      // oracle's rounding CAST whenever rate*1000 is not exactly integral
+      (bucket < round(rate * 1000.0).cast("long")).as("kept")
     )
   }
 

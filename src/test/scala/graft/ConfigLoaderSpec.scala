@@ -169,6 +169,36 @@ class ConfigLoaderSpec extends SparkTestBase {
     assert(m2.pipeline.ignoreClientErrors) // remote-set field wins
   }
 
+  test("Consumer/Producer span kinds normalize to entry/exit and fire on entry-class turns") {
+    // utils.go:128-135: Consumer is an entry kind, Producer an exit kind;
+    // a reference config gating on span_kinds: [Consumer] must match the
+    // same turns a [Server] gate matches
+    import org.apache.spark.sql.functions._
+    val jc = ConfigLoader.fromYaml(
+      """asserts_processor:
+        |  span_attributes:
+        |    - attr_name: request_context
+        |      attr_configs:
+        |        - rules:
+        |            - source_attributes: [url]
+        |              span_kinds: [Consumer]
+        |              regex: "https?://.+?((/[^/?]+){1,1}).*"
+        |            - source_attributes: [url]
+        |              span_kinds: [Producer]
+        |              regex: "https?://.+?((/[^/?]+){1,3}).*"
+        |""".stripMargin)
+    val rules = jc.rules("request_context")
+    assert(rules.map(_.spanKinds) == Seq(Seq("entry"), Seq("exit")))
+    // the Consumer(->entry) rule fires on an entry-class turn
+    val turns = turnsDf(Seq(turn("c1", 1, "user", "web", 100, url = "https://h/a/b/c")))
+    val parsed = graft.operators.Parse.parsed(
+      graft.operators.Enrich.withServiceDim(turns, spark),
+      rules = jc.rules ++ graft.operators.Parse.defaultRules.view.filterKeys(_ != "request_context").toMap
+    )
+    val got = parsed.select("request_context").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/a"))
+  }
+
   test("loaded rules drive the parse stage end-to-end") {
     import org.apache.spark.sql.functions._
     val jc = ConfigLoader.fromYaml(yamlNew)
