@@ -196,14 +196,20 @@ object Pipeline {
       done.getOrElse(name, {
         wroteAny.set(true)
         val path = s"$outDir/$name"
-        val obs = Observation()
-        val obsExprs = count(lit(1)).as("rows") +: counters.map { case (n, c) => c.as(n) }
-        val observed = df.observe(obs, obsExprs.head, obsExprs.tail: _*)
-        write(observed, path)
-        val metrics = obs.getAsJava
-        val counts = scala.jdk.CollectionConverters.MapHasAsScala(metrics).asScala.toMap
-          .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
-        if (lineage) {
+        if (!lineage) {
+          // pure write: no counters observed, no manifest (matches the
+          // pre-observation "no manifest, no counts" contract and keeps
+          // the benchmark pipeline path free of per-row counter work)
+          write(df, path)
+          Map.empty[String, Long]
+        } else {
+          val obs = Observation()
+          val obsExprs = count(lit(1)).as("rows") +: counters.map { case (n, c) => c.as(n) }
+          val observed = df.observe(obs, obsExprs.head, obsExprs.tail: _*)
+          write(observed, path)
+          val metrics = obs.getAsJava
+          val counts = scala.jdk.CollectionConverters.MapHasAsScala(metrics).asScala.toMap
+            .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
           val files = listDataFiles(spark, path)
           val filesJson = files
             .map { case (f, b) => s"{${jstr("file")}: ${jstr(f)}, ${jstr("bytes")}: $b}" }
@@ -219,8 +225,8 @@ object Pipeline {
               StandardOpenOption.CREATE, StandardOpenOption.APPEND
             )
           }
+          counts
         }
-        counts
       })
 
     // The two sink families are INDEPENDENT actions over the shared cached
