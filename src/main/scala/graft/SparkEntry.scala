@@ -283,6 +283,20 @@ object SparkEntry {
     // after edits; chunk hashes are the storage-dedup unit
     "q39_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+    // cross-document duplicate w-token passages (near-verbatim reuse at
+    // sub-document granularity)
+    "q44_dup_passages" -> ((s, dir) =>
+      TextAnalysis.duplicatePassages(docs(s, dir), w = 8)
+        .orderBy("doc_id", "pos")),
+    // corpus vocabulary: per-token term frequency + document frequency
+    "q46_vocab_df" -> ((s, dir) =>
+      TextAnalysis.vocabStats(docs(s, dir)).orderBy("token")),
+    // ANN over int8 max-abs quantized vectors (compressed-index variant)
+    "q45_ann_int8" -> ((s, dir) => {
+      val emb = embs(s, dir)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
     // ANN: exact brute-force cosine top-k (oracle-checked)
     "q30_ann_topk" -> ((s, dir) => {
       val emb = embs(s, dir)
@@ -566,6 +580,59 @@ object SparkEntry {
         |             & CAST(9223372036854775807 AS UBIGINT)) % 100 < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_dup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS INT) AS i
+        |  FROM toks
+        |),
+        |passages AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS passage_hash
+        |  FROM pos
+        |),
+        |dup AS (
+        |  SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM passages GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |)
+        |SELECT p.doc_id, p.pos, p.passage_hash, d.n_docs
+        |FROM passages p JOIN dup d USING (passage_hash)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q46_vocab_df" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(toks) AS token FROM toks) GROUP BY 1
+        |),
+        |df AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toks) GROUP BY 1
+        |)
+        |SELECT token, tf.tf, df.df FROM tf JOIN df USING (token) ORDER BY token""".stripMargin,
+    "q45_ann_int8" ->
+      (OracleSql.embQuantCte + """,
+        |e8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(127.0 * x / m) AS BIGINT))
+        |    END AS v8
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+        |),
+        |q AS (SELECT * FROM e8 WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e8.vec_id AS n_id,
+        |    list_dot_product(q.v8, e8.v8)
+        |      / sqrt(list_dot_product(q.v8, q.v8) * list_dot_product(e8.v8, e8.v8)) AS cosine_q8
+        |  FROM e8 JOIN q ON q.vec_id <> e8.vec_id
+        |),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_q8 DESC, n_id) AS INT) AS rank
+        |           FROM scored)
+        |SELECT q_id, n_id, rank, cosine_q8 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "q30_ann_topk" ->
       (OracleSql.embQuantCte + """,
         |q AS (SELECT * FROM e WHERE vec_id < 5),

@@ -79,6 +79,8 @@ object SqlSurface {
     Dedup.trainSplit(docs).createOrReplaceTempView("graft_train_split")
     Dedup.decontaminationPairs(docs).createOrReplaceTempView("graft_decontam")
     TextAnalysis.tokenStats(docs).createOrReplaceTempView("graft_token_stats")
+    TextAnalysis.duplicatePassages(docs).createOrReplaceTempView("graft_dup_passages")
+    TextAnalysis.vocabStats(docs).createOrReplaceTempView("graft_vocab")
     TextAnalysis.qualityScore(docs).createOrReplaceTempView("graft_quality")
     TextAnalysis.languageId(docs).createOrReplaceTempView("graft_langid")
     Similarity

@@ -33,6 +33,45 @@ object Similarity {
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") / sqrt((dotQ(a, a) * dotQ(b, b)).cast("double"))
 
+  /** Per-vector int8 (max-abs) quantization of an exact milli-unit
+    * vector: values scale to [-127, 127] by the vector's own max
+    * magnitude — the memory-compression step of a billion-vector ANN
+    * index (4 bytes/dim -> 1). Derived from the EXACT integer milli-unit
+    * form, so both the max-abs and the rescale divide exact integers and
+    * the result is bit-identical across engines (round-half-away on an
+    * exact-int ratio). All-zero vectors quantize to all zeros. */
+  def quantizeInt8(vecQ: Column): Column = {
+    val maxabs = array_max(transform(vecQ, x => abs(x)))
+    transform(
+      vecQ,
+      x =>
+        when(maxabs === 0L, 0L)
+          .otherwise(round(lit(127.0) * x.cast("double") / maxabs.cast("double")).cast("long"))
+    )
+  }
+
+  /** Brute-force cosine top-k over INT8-quantized vectors — the
+    * compressed-index ANN variant: identical plan shape to
+    * [[bruteForceTopK]] (broadcast queries, windowed top-k) but every
+    * dot runs on the 1-byte-per-dim representation; `cosine_q8` is the
+    * compressed-domain score whose ranking approximates the exact one
+    * (recall measurable against [[bruteForceTopK]]). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VecOps.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id").as("n_id"), quantizeInt8(quantize(col("embedding"))).as("nv"))
+    val q = queries.select(col("vec_id").as("q_id"), quantizeInt8(quantize(col("embedding"))).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine_q8", cosineQ(col("qv"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("cosine_q8").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine_q8")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself), ties broken by neighbor id.
     */

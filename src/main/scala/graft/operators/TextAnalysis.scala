@@ -219,6 +219,63 @@ object TextAnalysis {
     )
   }
 
+  /** Cross-document duplicate-passage detection: every w-token passage
+    * whose hash occurs in MORE THAN ONE distinct document, located by
+    * (doc_id, token position) — the near-verbatim-reuse signal a
+    * training corpus scans for before dedup decisions at sub-document
+    * granularity (boilerplate headers, license blocks, templated spans).
+    *
+    * Scale shape: the passage derivation is the one-pass posexplode +
+    * lead window (O(tokens), partitioned by doc); the duplicate dim is a
+    * partial-aggregable groupBy over passage hashes (count distinct docs
+    * approximated exactly by the two-level groupBy — no giant
+    * countDistinct state); the join back is an equi-join on the hash.
+    * No document ever cross-joins another.
+    */
+  def duplicatePassages(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))
+    )
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until w).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t$o", lead(col("tok"), o).over(win))
+    }
+    val passages = leads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(
+        col("doc_id"),
+        col("pos"),
+        md5(concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*))
+          .as("passage_hash")
+      )
+    val dupDim = passages
+      .groupBy("passage_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    passages
+      .join(dupDim, Seq("passage_hash"))
+      .select("doc_id", "pos", "passage_hash", "n_docs")
+  }
+
+  /** Corpus vocabulary statistics: per-token total term frequency and
+    * document frequency — the vocabulary-building / df-weighting pass of
+    * a tokenizer or TF-IDF pipeline. One explode + one partial-aggregable
+    * groupBy; df comes from the per-doc DISTINCT token explode so the
+    * aggregation state never holds a doc set. */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token")).select("token", "tf", "df")
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 

@@ -263,4 +263,49 @@ class DocOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"LSH recall $recall unexpectedly low")
     assert(approx.nonEmpty)
   }
+
+  test("duplicate passages: planted 8-token passage shared by two docs is located; unique text is not") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docDf(
+      (1L, s"unique one two three $shared tail tokens here"),
+      (2L, s"$shared completely different remainder of this doc"),
+      (3L, "nothing in common with the others at all whatsoever today")
+    )
+    val r = TextAnalysis.duplicatePassages(d, w = 8).collect()
+    // every reported passage occurs in >= 2 docs by construction
+    assert(r.forall(_.getAs[Long]("n_docs") >= 2))
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    // doc 3 shares nothing
+    assert(!byDoc.contains(3L))
+    // docs 1 and 2 share the planted passage at the right positions
+    assert(byDoc(1L).exists(_.getAs[Int]("pos") == 4))
+    assert(byDoc(2L).exists(_.getAs[Int]("pos") == 0))
+    // the planted passage hash is identical across the two docs
+    val h1 = byDoc(1L).filter(_.getAs[Int]("pos") == 4).head.getAs[String]("passage_hash")
+    val h2 = byDoc(2L).filter(_.getAs[Int]("pos") == 0).head.getAs[String]("passage_hash")
+    assert(h1 == h2)
+  }
+
+  test("vocab stats: tf sums to the corpus token count and df <= tf, df <= n_docs") {
+    val v = TextAnalysis.vocabStats(docs).collect()
+    val totalTf = v.map(_.getAs[Long]("tf")).sum
+    val totalToks = TextAnalysis.tokenStats(docs)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(totalTf == totalToks)
+    val nDocs = docs.count()
+    assert(v.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
+    assert(v.forall(r => r.getAs[Long]("df") <= nDocs))
+  }
+
+  test("int8 ANN: high recall vs exact brute force; scores bounded") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val q8 = Similarity.int8TopK(embs, queries, k = 5).collect()
+    assert(q8.forall(r => math.abs(r.getAs[Double]("cosine_q8")) <= 1.0 + 1e-9))
+    val approx = q8.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // int8 max-abs keeps the ranking nearly intact on these vectors
+    assert(recall >= 0.8, s"int8 recall $recall")
+  }
 }
