@@ -30,17 +30,72 @@ object VecOps {
     s
   }
 
-  /** Register `dotq` in the session's function registry (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Per-vector int8 max-abs quantization kernel: scale exact integer
+    * components to [-127, 127] by the vector's own max magnitude, with
+    * round-HALF-AWAY-FROM-ZERO on the exact-integer ratio (matching both
+    * Spark's `round()` and DuckDB's `round()` — `Math.round` would
+    * differ at negative .5 boundaries). One pass, no per-element
+    * re-derivation of the max (the HOF form evaluates the max
+    * subexpression PER ELEMENT once projection collapse inlines it —
+    * O(d^2) interpreted per joined pair, measured ~9x slower). */
+  def quant8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var m = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getLong(i))
+      if (v > m) m = v
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (m != 0L) {
+      i = 0
+      while (i < n) {
+        val x = 127.0 * a.getLong(i) / m
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Register `dotq` + `quant8` in the session's function registry
+    * (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotq",
       exprs => DotQExpr(exprs.head, exprs(1)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant8",
+      exprs => Quant8Expr(exprs.head),
+      "built-in"
+    )
+  }
 
   /** Column API: dotq(a, b) — call [[register]] on the session first. */
   def dotq(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dotq", a, b)
+
+  /** Column API: quant8(a) — call [[register]] on the session first. */
+  def quant8(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("quant8", a)
+}
+
+case class Quant8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quant8 requires array<bigint>, got ${t.sql}")
+  }
+  override def nullSafeEval(a: Any): Any = VecOps.quant8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.quant8($a)")
+  override protected def withNewChildInternal(newChild: Expression): Quant8Expr =
+    copy(child = newChild)
+  override def prettyName: String = "quant8"
 }
 
 case class DotQExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -40,15 +40,8 @@ object Similarity {
     * form, so both the max-abs and the rescale divide exact integers and
     * the result is bit-identical across engines (round-half-away on an
     * exact-int ratio). All-zero vectors quantize to all zeros. */
-  def quantizeInt8(vecQ: Column): Column = {
-    val maxabs = array_max(transform(vecQ, x => abs(x)))
-    transform(
-      vecQ,
-      x =>
-        when(maxabs === 0L, 0L)
-          .otherwise(round(lit(127.0) * x.cast("double") / maxabs.cast("double")).cast("long"))
-    )
-  }
+  def quantizeInt8(vecQ: Column): Column =
+    graft.functions.VecOps.quant8(vecQ)
 
   /** Brute-force cosine top-k over INT8-quantized vectors — the
     * compressed-index ANN variant: identical plan shape to
