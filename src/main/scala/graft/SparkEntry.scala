@@ -283,6 +283,11 @@ object SparkEntry {
     // after edits; chunk hashes are the storage-dedup unit
     "q39_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+    // event sessionization: native session_window aggregation (30-min
+    // inactivity gap), the batch==streaming session-boundary operator
+    "q47_sessions" -> ((s, dir) =>
+      graft.operators.Sessions.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)
+        .orderBy("user_id", "session_start_us")),
     // cross-document duplicate w-token passages (near-verbatim reuse at
     // sub-document granularity)
     "q44_dup_passages" -> ((s, dir) =>
@@ -580,6 +585,25 @@ object SparkEntry {
         |             & CAST(9223372036854775807 AS UBIGINT)) % 100 < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_sessions" -> {
+      val gapUs = 30L * 60L * 1000000L
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+         |l AS (SELECT user_id, tus,
+         |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+         |      FROM e),
+         |f AS (SELECT user_id, tus,
+         |        CASE WHEN prev IS NULL OR tus - prev > $gapUs THEN 1 ELSE 0 END AS new_s
+         |      FROM l),
+         |g AS (SELECT user_id, tus,
+         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+         |                         ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM f)
+         |SELECT user_id, MIN(tus) AS session_start_us,
+         |  MAX(tus) + $gapUs AS session_end_us,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin
+    },
     "q44_dup_passages" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

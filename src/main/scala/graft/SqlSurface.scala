@@ -47,6 +47,9 @@ object SqlSurface {
     Route.convDims(enriched).createOrReplaceTempView("graft_conversations")
     routing.createOrReplaceTempView("graft_routing")
     Route.routedTurns(turns, routing).createOrReplaceTempView("graft_sink_rows")
+    graft.operators.Sessions
+      .sessionize(spark.read.parquet(s"$sfDir/events.parquet"))
+      .createOrReplaceTempView("graft_sessions")
     Aggregates.redRollupFrom(rollup).createOrReplaceTempView("graft_red")
     Aggregates.latencyHistogramFrom(rollup).createOrReplaceTempView("graft_histogram")
     Aggregates

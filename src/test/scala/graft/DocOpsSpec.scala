@@ -308,4 +308,27 @@ class DocOpsSpec extends SparkTestBase {
     // int8 max-abs keeps the ranking nearly intact on these vectors
     assert(recall >= 0.8, s"int8 recall $recall")
   }
+
+  test("sessionize: 30-min gap splits sessions; exact-gap boundary event merges (inclusive end)") {
+    val s2 = spark
+    import s2.implicits._
+    def us(min: Long) = min * 60L * 1000000L
+    val ev = Seq(
+      (1L, us(0)), (1L, us(10)), (1L, us(50)),   // user 1: [0,10] then [50]
+      (2L, us(0)), (2L, us(30)),                 // user 2: exact 30-min gap -> MERGED (end inclusive)
+      (3L, us(0)), (3L, us(29))                  // user 3: 29-min gap -> one session
+    ).toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    val r = graft.operators.Sessions.sessionize(ev, gapMinutes = 30)
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_start_us"),
+                 x.getAs[Long]("session_end_us"), x.getAs[Long]("n_events")))
+      .toSet
+    assert(r == Set(
+      (1L, us(0), us(40), 2L),   // end = last event + gap
+      (1L, us(50), us(80), 1L),
+      (2L, us(0), us(60), 2L),   // boundary event IS merged: session end is inclusive
+      (3L, us(0), us(59), 2L)
+    ))
+  }
 }
