@@ -26,9 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    events
-      .withColumn("ts_t", col("ts").cast("timestamp"))
+  /** `watermark`: set for the streaming form (e.g. `Some("10 minutes")`)
+    * — sessions finalize and emit once (Append) when the watermark passes
+    * their end; batch callers leave it None. Same declaration otherwise. */
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val base = events.withColumn("ts_t", col("ts").cast("timestamp"))
+    watermark
+      .map(w => base.withWatermark("ts_t", w))
+      .getOrElse(base)
       .groupBy(col("user_id"), session_window(col("ts_t"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(
@@ -37,4 +46,5 @@ object Sessions {
         expr("unix_micros(w.end)").as("session_end_us"),
         col("n_events")
       )
+  }
 }

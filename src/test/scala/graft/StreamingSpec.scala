@@ -217,6 +217,36 @@ class StreamingSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/batch_0/metrics")))
   }
 
+  test("sessionize streams: the batch declaration runs as a watermarked session aggregation") {
+    // the IDENTICAL Sessions.sessionize declaration, with a watermark,
+    // as a streaming Append aggregation: a session emits exactly once,
+    // when the watermark passes its end; a late event for it is dropped
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, event micros)
+    val ev = input.toDF().toDF("user_id", "us")
+      .select(col("user_id"), org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"))
+    val sessions = graft.operators.Sessions
+      .sessionize(ev, gapMinutes = 30, watermark = Some("10 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def us(min: Long) = min * 60L * 1000000L
+      input.addData((1L, us(0)), (1L, us(10)))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // not finalized yet
+      input.addData((1L, us(600))) // watermark jumps past [0, 40)
+      q.processAllAvailable()
+      input.addData((1L, us(20))) // LATE event for the finalized session
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, us(0), us(40), 2L))) // once, late event dropped
+    } finally q.stop()
+  }
+
   test("config hot-refresh: a threshold change between micro-batches changes routing") {
     // mirrors config_refresh.go:28-84 listener semantics: the YAML is
     // re-read per batch, so the same turn routes 'normal' under a high
