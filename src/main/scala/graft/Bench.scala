@@ -95,6 +95,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","pipeline_sf_turns":$sfTurns,"pipeline_gen_turns":$genTurns,"pipeline_gen_turns_per_sec":$tput,"telemetry":${telemetry.toJson}}"""
     )
+    CacheBook.release() // drop the operators' internal caches (see CacheBook)
     spark.stop()
   }
 }

@@ -442,6 +442,49 @@ object OracleSql {
        |)
        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** q48 oracle: IVF + int8 scalar quantization (mirrors
+    * Similarity.ivfInt8TopK — full-precision centroid assignment on both
+    * sides, int8 compressed-domain scoring inside the probed lists). */
+  def ivfInt8Oracle(k: Int, nCentroids: Int, nProbe: Int): String =
+    embQuantCte + s""",
+       |e8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(v, x -> CAST(round(127.0 * x / m) AS BIGINT))
+       |    END AS v8
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+       |),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $nCentroids),
+       |ca AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT e.vec_id AS n_id, c.c_id,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM e, cent c
+       |  ) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM e, cent c WHERE e.vec_id < 5
+       |  ) WHERE rn <= $nProbe
+       |),
+       |scored AS (
+       |  SELECT q.q_id, a.n_id, ${cosSql("q8.v8", "n8.v8")} AS cosine_q8
+       |  FROM qp q JOIN ca a ON q.c_id = a.c_id AND q.q_id <> a.n_id
+       |  JOIN e8 q8 ON q8.vec_id = q.q_id
+       |  JOIN e8 n8 ON n8.vec_id = a.n_id
+       |),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_q8 DESC, n_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, rank, cosine_q8 FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   /** q27 oracle: md5-lower-64 token-hash SimHash (bit-identical to the
     * SimHash64Expr kernel), 2-chunk-agreement multi-index candidates
     * (mirrors Dedup.simhashChunkCombos), exact hamming. */

@@ -286,9 +286,12 @@ object Pipeline {
         (s, writeMetricsTarget())
       }
 
+    // uniform return shape across flag combinations: "metrics" is always
+    // present (0 when metrics were skipped or lineage was off), so callers
+    // may read counts("metrics") unconditionally
     val counts =
-      Seq("errors", "slow", "normal").map(s => s"sink_$s" -> sinkCounts.getOrElse(s"sink_$s", 0L)) ++
-        (if (writeMetrics) Seq("metrics" -> metricsCounts.getOrElse("rows", 0L)) else Nil)
+      Seq("errors", "slow", "normal").map(s => s"sink_$s" -> sinkCounts.getOrElse(s"sink_$s", 0L)) :+
+        ("metrics" -> (if (writeMetrics) metricsCounts.getOrElse("rows", 0L) else 0L))
 
     // stage metrics observed on the enriched pass — only read when a write
     // actually executed the plan (Observation.get blocks otherwise)

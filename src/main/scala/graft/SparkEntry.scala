@@ -326,6 +326,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("q_id", "rank")
     }),
+    // ANN: IVF + int8 scalar quantization (sublinear probe over 1-byte/dim
+    // inverted lists — the composed billion-vector index shape)
+    "q48_ann_ivf_int8" -> ((s, dir) => {
+      val emb = embs(s, dir)
+      Similarity.ivfInt8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("q_id", "rank")
+    }),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
     // synthetic media so the byte contract is oracle-checkable). The
@@ -672,6 +679,7 @@ object SparkEntry {
     "q27_simhash_pairs" -> OracleSql.simhashOracle(maxHamming = 6),
     "q31_ann_lsh" -> OracleSql.annLshOracle(k = 5),
     "q33_ann_ivf" -> OracleSql.ivfOracle(k = 5, nCentroids = 16, nProbe = 4),
+    "q48_ann_ivf_int8" -> OracleSql.ivfInt8Oracle(k = 5, nCentroids = 16, nProbe = 4),
     "q32_cosine_pairs" -> OracleSql.cosinePairsOracle(threshold = 0.4),
     "q42_winnowing" ->
       (OracleSql.winnowingCte + """

@@ -37,6 +37,10 @@ object SqlSurface {
       sfDir: String,
       cfg: PipelineConfig = PipelineConfig.default
   ): Unit = {
+    // re-registration over a new dir orphans the previous dir's view
+    // plans — drop the internal operator caches they pinned (they refill
+    // lazily if an old plan is still queried)
+    graft.CacheBook.release()
     registerFunctions(spark)
     val turns = Transcripts.fromEvents(spark, sfDir)
     val enriched = Enrich.enriched(turns, spark, cfg)
@@ -47,9 +51,42 @@ object SqlSurface {
     Route.convDims(enriched).createOrReplaceTempView("graft_conversations")
     routing.createOrReplaceTempView("graft_routing")
     Route.routedTurns(turns, routing).createOrReplaceTempView("graft_sink_rows")
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("graft_events")
     graft.operators.Sessions
-      .sessionize(spark.read.parquet(s"$sfDir/events.parquet"))
+      .sessionize(spark.table("graft_events"))
       .createOrReplaceTempView("graft_sessions")
+    // parameterized form: SELECT * FROM graft_sessionize(45) — a SQL TABLE
+    // FUNCTION (Spark 4 SQL UDF), so the gap is a query-time argument
+    // instead of a registration-time constant. The body is the
+    // gaps-and-islands formulation (lag + strict-> gap flag + running sum)
+    // rather than native session_window: MEASURED limitation — inside a
+    // SQL function body the analyzer cannot resolve session_window's
+    // output attribute (UNRESOLVED session_window.start; the aliased
+    // subquery form trips MISSING_AGGREGATION), while the same SQL works
+    // standalone. Semantics are pinned identical to Sessions.sessionize
+    // (inclusive boundary: an exact-gap event merges — strict > here, and
+    // SqlSurfaceSpec cross-checks the whole relation against the API).
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_sessionize(gap_minutes INT)
+        |RETURNS TABLE (user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, n_events BIGINT)
+        |RETURN SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + gap_minutes * 60000000L AS session_end_us,
+        |  count(1) AS n_events
+        |FROM (
+        |  SELECT user_id, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, tus,
+        |      CASE WHEN prev IS NULL OR tus - prev > gap_minutes * 60000000L THEN 1 ELSE 0 END AS new_s
+        |    FROM (
+        |      SELECT user_id, unix_micros(cast(ts AS timestamp)) AS tus,
+        |        lag(unix_micros(cast(ts AS timestamp))) OVER (
+        |          PARTITION BY user_id ORDER BY unix_micros(cast(ts AS timestamp))) AS prev
+        |      FROM graft_events
+        |    )
+        |  )
+        |) GROUP BY user_id, sid
+        |""".stripMargin)
     Aggregates.redRollupFrom(rollup).createOrReplaceTempView("graft_red")
     Aggregates.latencyHistogramFrom(rollup).createOrReplaceTempView("graft_histogram")
     Aggregates
@@ -89,5 +126,43 @@ object SqlSurface {
     Similarity
       .nearDupPairs(embs, threshold = 0.4)
       .createOrReplaceTempView("graft_cosine_pairs")
+
+    // ---- parameterized table functions over the doc/embedding operators:
+    // the UNTHRESHOLDED relation is registered as a lazy view and a SQL
+    // table function applies the query-time argument, so the SQL surface
+    // is no longer frozen at registration constants ----
+    // minhash pairs: view keeps every banded candidate (estimate >= 0);
+    // graft_minhash_pairs_at(0.7) filters at query time
+    Dedup.minhashLshPairs(docs, minEstimate = 0.0)
+      .createOrReplaceTempView("graft_minhash_scored")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_minhash_pairs_at(min_estimate DOUBLE)
+        |RETURNS TABLE (doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE)
+        |RETURN SELECT doc_a, doc_b, est_jaccard
+        |FROM graft_minhash_scored WHERE est_jaccard >= min_estimate
+        |""".stripMargin)
+    // decontamination: view keeps every overlapping (test, train) pair;
+    // graft_decontam_at(3) sets the evidence bar at query time
+    Dedup.decontaminationPairs(docs, minShared = 1)
+      .createOrReplaceTempView("graft_decontam_scored")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_decontam_at(min_shared BIGINT)
+        |RETURNS TABLE (test_doc_id BIGINT, train_doc_id BIGINT, n_shared BIGINT)
+        |RETURN SELECT test_doc_id, train_doc_id, n_shared
+        |FROM graft_decontam_scored WHERE n_shared >= min_shared
+        |""".stripMargin)
+    // ANN top-k: the ranked view carries every (query, neighbor, rank);
+    // graft_ann_topk(3) cuts at query time. (At corpus scale the ranked
+    // view would be capped at the max supported k; the rank filter stays
+    // a WindowGroupLimit either way.)
+    Similarity.bruteForceTopK(embs, embs.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        k = Int.MaxValue)
+      .createOrReplaceTempView("graft_ann_ranked")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_ann_topk(k INT)
+        |RETURNS TABLE (q_id BIGINT, n_id BIGINT, rank INT, cosine DOUBLE)
+        |RETURN SELECT q_id, n_id, rank, cosine
+        |FROM graft_ann_ranked WHERE rank <= k
+        |""".stripMargin)
   }
 }

@@ -41,6 +41,14 @@ object Verify {
     // candidate/output-pair counters of the bucketed similarity operators
     // (bucket-blow-up early warning — see graft.Telemetry)
     Files.writeString(Paths.get(s"$outDir/telemetry.json"), telemetry.toJson)
+    // batch-vs-stream parity artifact (the streaming correctness oracle)
+    try Files.writeString(
+      Paths.get(s"$outDir/stream_parity.json"),
+      StreamParity.run(spark, sfDir, s"$outDir/_stream_parity"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stream parity failed: ${e.getMessage}")
+    }
+    CacheBook.release() // drop the operators' internal caches (see CacheBook)
     spark.stop()
   }
 }

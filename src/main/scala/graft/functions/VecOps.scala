@@ -32,9 +32,17 @@ object VecOps {
 
   /** Per-vector int8 max-abs quantization kernel: scale exact integer
     * components to [-127, 127] by the vector's own max magnitude, with
-    * round-HALF-AWAY-FROM-ZERO on the exact-integer ratio (matching both
-    * Spark's `round()` and DuckDB's `round()` — `Math.round` would
-    * differ at negative .5 boundaries). One pass, no per-element
+    * round-HALF-AWAY-FROM-ZERO computed in EXACT INTEGER arithmetic:
+    * round(127*a/m) = floor((254*|a| + m) / (2*m)) with the sign
+    * re-applied — no floating point anywhere, so there is no
+    * `floor(x+0.5)` double-rounding edge (an FP x+0.5 can round UP at
+    * values like 0.49999999999999994) and the result is exactly the
+    * half-away-from-zero rounding of the rational 127*a/m. Matches
+    * Spark's and DuckDB's `round()` over the embedding domain (their
+    * double division 127.0*a/m errs by well under the >= 1/(2m) gap any
+    * non-half rational keeps from .5, and exact halves are exact in FP).
+    * Precondition |a_i| <= Long.MaxValue/254 (~3.6e16) — any physical
+    * integer-quantized embedding domain. One pass, no per-element
     * re-derivation of the max (the HOF form evaluates the max
     * subexpression PER ELEMENT once projection collapse inlines it —
     * O(d^2) interpreted per joined pair, measured ~9x slower). */
@@ -51,8 +59,9 @@ object VecOps {
     if (m != 0L) {
       i = 0
       while (i < n) {
-        val x = 127.0 * a.getLong(i) / m
-        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+        val v = a.getLong(i)
+        val q = (254L * math.abs(v) + m) / (2L * m)
+        out(i) = if (v >= 0) q else -q
         i += 1
       }
     }

@@ -106,8 +106,9 @@ object Aggregates {
     // re-aggregates the rollup itself, and WITHOUT the cache Catalyst's
     // column pruning specializes that branch into a SECOND span-level
     // aggregation over the whole enrich DAG (only the source exchange is
-    // reused — plan-audited; measured ~2x standalone q09/q13 cost)
-    capRollup(fineRollupRaw(enriched, cfg, windowMinutes).cache(), cfg)
+    // reused — plan-audited; measured ~2x standalone q09/q13 cost).
+    // Registered in CacheBook so verify/bench/SqlSurface loops can drop it.
+    capRollup(graft.CacheBook.cached(fineRollupRaw(enriched, cfg, windowMinutes)), cfg)
 
   /** The UNCAPPED fine rollup, carrying service_key and each group's min
     * event time — the cacheable intermediate the cap dim and every metric
@@ -204,7 +205,7 @@ object Aggregates {
     val winMicros = windowMinutes.toLong * 60L * 1000000L
     val ttlMicros = cfg.requestContextCacheTTLMinutes.toLong * 60L * 1000000L
     val gated = if (cfg.captureMetrics) enriched else enriched.filter(lit(false))
-    val raw = gated
+    val rawPlan = gated
       .filter(col("span_class") =!= "internal")
       .withColumn("ttl_win", expr(s"unix_micros(cast(ts as timestamp)) div $ttlMicros"))
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
@@ -216,10 +217,11 @@ object Aggregates {
         max(col("latency_secs")).as("lat_max"),
         min(col("ts")).as("ts_min")
       )
+    val raw = graft.CacheBook.cached(
       // same cached-aggregate shape as fineRollup: the per-ttl-window cap
       // dim re-aggregates this relation, and pruning would otherwise
       // specialize that branch into a second span-level pass
-      .cache()
+      rawPlan)
     val admitted =
       firstSeenRank(raw, Seq("service_key", "ttl_win"), "request_context", "ts_min", "ctx_rank")
         .filter(col("ctx_rank") <= cfg.limitPerService)
@@ -332,7 +334,7 @@ object Aggregates {
     // the cap ranks/joins on the RAW request_context (NULL contexts drop
     // out of the null-unsafe join, matching the reference's attribute
     // lookup), while the emitted label coalesces NULL to ""
-    val rawAll = gated
+    val rawAllPlan = gated
       .filter(col("span_class") =!= "internal")
       .withColumn("le", leExpr)
       .groupBy(
@@ -340,10 +342,10 @@ object Aggregates {
           labels.map { case (n, c) => c.as(n) }: _*
       )
       .agg(count(lit(1)).as("bucket_count"), min(col("ts")).as("ts_min"))
-      // cached for the same reason as fineRollup: the first-seen cap dim
-      // below re-aggregates this relation (pruning would specialize a
-      // second full span-level aggregation branch otherwise)
-      .cache()
+    // cached for the same reason as fineRollup: the first-seen cap dim
+    // below re-aggregates this relation (pruning would specialize a
+    // second full span-level aggregation branch otherwise)
+    val rawAll = graft.CacheBook.cached(rawAllPlan)
     val admitted = firstSeenRank(rawAll, "service_key", "request_context", "ts_min", "ctx_rank")
       .filter(col("ctx_rank") <= cfg.limitPerService)
       .select("service_key", "request_context")

@@ -106,7 +106,12 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("shingle")
-    val capped = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // cache the capped shingle relation: it feeds the self-join side a,
+    // side b, AND the per-doc size aggregation — uncached, the whole
+    // tokenize->shingle->anti-join DAG executes once per consumer (the
+    // same repeated-derivation disease the minhashLshPairs signature
+    // cache cured; rows are tiny: doc_id + shingle)
+    val capped = graft.CacheBook.cached(inv.join(broadcast(hot), Seq("shingle"), "left_anti"))
     val pairs = graft.Telemetry.observeCount(
       capped.as("a")
         .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -472,7 +477,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("fp")
-    val cool = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    // same multi-consumer shape as the q25 shingle relation: `cool` feeds
+    // the test side and the train side of the fp join (and `fps` feeds the
+    // hot-df aggregation) — cache the tiny (doc_id, fp, split) rows so the
+    // winnowing-fingerprint DAG executes once, not once per consumer
+    val cool = graft.CacheBook.cached(fps.join(broadcast(hot), Seq("fp"), "left_anti"))
     val test = cool.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc_id"), col("fp"))
     val train = cool.filter(col("split") === "train")
@@ -491,7 +500,7 @@ object Dedup {
     // cache the signature relation: it feeds the band self-join AND both
     // signature-compare join sides — uncached, the shingle->signature DAG
     // would execute three times (tiny rows: doc_id + NumHashes hashes)
-    val sig = minhashSigDf(docs, w).cache()
+    val sig = graft.CacheBook.cached(minhashSigDf(docs, w))
     val bands = minhashBandsFromSig(sig).select("doc_id", "band_idx", "band_key")
     val cand = graft.Telemetry.observeCount(
       bands.as("a")

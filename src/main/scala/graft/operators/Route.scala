@@ -81,7 +81,19 @@ object Route {
         col("seg_main").getField("request_context").as("seg_request"),
         col("seg_main").getField("ts").as("seg_main_ts")
       )
-    withRank.join(segments, Seq("conv_id", "service"))
+    // NULL-SAFE on service: a null tool yields a null service, and that
+    // segment's spans must still meet their segment row (the reference
+    // keys segments by whatever service string the span carries,
+    // utils.go:69-77 — absence is a value, not a drop condition)
+    val seg = segments
+      .withColumnRenamed("conv_id", "sg_conv_id")
+      .withColumnRenamed("service", "sg_service")
+    withRank
+      .join(
+        seg,
+        col("conv_id") === col("sg_conv_id") && col("service") <=> col("sg_service")
+      )
+      .drop("sg_conv_id", "sg_service")
   }
 
   /** Per-span routing flag (error precedence, then slow), only for
@@ -168,8 +180,23 @@ object Route {
     // (AQE picks broadcast when it is small).
     val requestRank =
       Aggregates.firstSeenRank(conv, "entity_key", "request_context", "main_ts", "request_rank")
+    // NULL-SAFE equi-join (<=>): a NULL request_context (possible when a
+    // turn has no URL rule match and a NULL tool — Parse's coalesce ends
+    // at tool) groups into its own rank-dim row, and the null-unsafe form
+    // would silently DROP that conversation here while convDims — feeding
+    // the trace counter — keeps it, breaking the documented row-identity
+    // between the two. `<=>` keeps the join an equi-join (hash-joinable;
+    // EqualNullSafe is a valid hash key) so the plan shape is unchanged.
+    val rr = requestRank
+      .withColumnRenamed("entity_key", "rr_entity_key")
+      .withColumnRenamed("request_context", "rr_request_context")
     val capped = conv
-      .join(requestRank, Seq("entity_key", "request_context"))
+      .join(
+        rr,
+        col("entity_key") <=> col("rr_entity_key") &&
+          col("request_context") <=> col("rr_request_context")
+      )
+      .drop("rr_entity_key", "rr_request_context")
       .withColumn("request_capped", col("request_rank") > cfg.limitPerService)
 
     // Normal sampling: among unflagged, uncapped conversations, the first

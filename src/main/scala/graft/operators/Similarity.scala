@@ -43,12 +43,15 @@ object Similarity {
   def quantizeInt8(vecQ: Column): Column =
     graft.functions.VecOps.quant8(vecQ)
 
-  /** Brute-force cosine top-k over INT8-quantized vectors — the
-    * compressed-index ANN variant: identical plan shape to
-    * [[bruteForceTopK]] (broadcast queries, windowed top-k) but every
-    * dot runs on the 1-byte-per-dim representation; `cosine_q8` is the
-    * compressed-domain score whose ranking approximates the exact one
-    * (recall measurable against [[bruteForceTopK]]). */
+  /** Brute-force cosine top-k over INT8-quantized vectors: identical
+    * plan shape to [[bruteForceTopK]] (broadcast queries, windowed
+    * top-k) but every dot runs on the 1-byte-per-dim representation;
+    * `cosine_q8` is the compressed-domain score whose ranking
+    * approximates the exact one (recall measurable against
+    * [[bruteForceTopK]]). This is the compressed-domain FULL-SCAN
+    * baseline — the memory-compression half of a large-scale index; the
+    * sublinear-scan half is [[ivfInt8TopK]], which composes the same
+    * int8 representation with IVF's inverted lists. */
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     graft.functions.VecOps.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("n_id"), quantizeInt8(quantize(col("embedding"))).as("nv"))
@@ -227,6 +230,67 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** IVF over INT8-quantized inverted lists — the composition of
+    * [[ivfTopK]]'s sublinear scan shape with [[int8TopK]]'s 4x memory
+    * compression, i.e. the standard billion-vector index layout
+    * (IVF + scalar quantization): each query scans only its nProbe
+    * inverted lists, and every scanned vector is 1 byte/dim.
+    *
+    * Index-build vs scan precision split (the part that matters at
+    * scale): centroid ASSIGNMENT — built once, offline — runs at full
+    * milli-unit precision on both the corpus and query side (probing is
+    * |queries| x nCentroids, negligible), so the list geometry is
+    * identical to [[ivfTopK]]'s and recall loss comes only from the
+    * compressed in-list scoring. The inverted lists store ONLY the int8
+    * vectors; the scan never touches the full-precision column.
+    *
+    * Deterministic and oracle-reproducible like its two parents: exact
+    * integer dots for assignment, exact integer-ratio rounding
+    * ([[graft.functions.VecOps.quant8]]) for the compression.
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.functions.VecOps.register(corpus.sparkSession)
+    val cent = broadcast(
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), quantize(col("embedding")).as("cv"))
+    )
+    // inverted lists: nearest centroid at full precision, then ONLY the
+    // int8 vector is kept (the stored index is 1 byte/dim)
+    val corpusA = corpus
+      .select(col("vec_id").as("n_id"), quantize(col("embedding")).as("nv"))
+      .crossJoin(cent)
+      .withColumn("c_cos", cosineQ(col("nv"), col("cv")))
+      .groupBy("n_id")
+      .agg(min(struct(negate(col("c_cos")).as("nc"), col("c_id").as("cid"), col("nv").as("v"))).as("b"))
+      .select(col("n_id"), quantizeInt8(col("b.v")).as("nv8"), col("b.cid").as("c_id"))
+    // query probing at full precision; the query rides its int8 form into
+    // the list scan
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queryP = queries
+      .select(col("vec_id").as("q_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(cent)
+      .withColumn("c_cos", cosineQ(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), quantizeInt8(col("qv")).as("qv8"), col("c_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine_q8").desc, col("n_id"))
+    corpusA
+      .join(broadcast(queryP), Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine_q8", cosineQ(col("qv8"), col("nv8")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine_q8")
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= threshold) through

@@ -309,6 +309,23 @@ class DocOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"int8 recall $recall")
   }
 
+  test("IVF+int8 ANN: recall vs brute force; probing all lists equals the int8 full scan") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val got = Similarity.ivfInt8TopK(embs, queries, k = 5, nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf+int8 recall $recall")
+    // probing EVERY list degenerates to the int8 full scan — identical
+    // rows, proving the only extra approximation vs int8TopK is the probe
+    val full = Similarity.int8TopK(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Int]("rank"))).toSet
+    val allProbe = Similarity.ivfInt8TopK(embs, queries, k = 5, nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Int]("rank"))).toSet
+    assert(allProbe == full)
+  }
+
   test("sessionize: 30-min gap splits sessions; exact-gap boundary event merges (inclusive end)") {
     val s2 = spark
     import s2.implicits._

@@ -147,6 +147,28 @@ class RouteSpec extends SparkTestBase {
     assert(!n1.getAs[Boolean]("kept"))
   }
 
+  test("NULL request_context conversations survive the cardinality-cap join") {
+    // Parse's request_context coalesce ends at `tool`, which can be NULL
+    // (no URL rule match + null tool). The cap join must be NULL-SAFE:
+    // convRouting stays row-identical to convDims on such data instead of
+    // silently dropping the conversation (and desyncing the q06 trace
+    // counter from the q04/q07 routing counts).
+    val nullCtx = graft.model.Turn(
+      conv_id = "cnull", turn_idx = 0, role = "user",
+      text = "status=200 dur=700ms", tool = null, ts = ts(10))
+    val turns = Seq(
+      turn("c1", 0, "user", "api-server", durMs = 700, tSecs = 20)
+    )
+    val enr = Enrich.enriched(turnsDf(turns :+ nullCtx), spark, cfg)
+    val dims = Route.convDims(enr)
+    val routed = Route.convRouting(enr, cfg)
+    assert(dims.count() == routed.count())
+    val row = one(routed, "cnull")
+    assert(row.getAs[String]("request_context") == null)
+    // it routes like any other conversation (slow: 0.7 > 0.5 threshold)
+    assert(row.getAs[String]("sample_type") == "slow")
+  }
+
   test("sinks partition routed conversations; counts invariant") {
     val sf = "/root/testdata/sf0.001"
     val turns = graft.sources.Transcripts.fromEvents(spark, sf)

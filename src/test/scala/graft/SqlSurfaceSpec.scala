@@ -52,4 +52,44 @@ class SqlSurfaceSpec extends SparkTestBase {
       """SELECT grok_extract('dur=12ms', 'dur=(?<ms>[0-9]+)ms').ms AS ms""").collect().head
     assert(g.getString(0) == "12")
   }
+
+  test("parameterized table functions: query-time arguments match the Scala API") {
+    SqlSurface.registerPipeline(spark, sfDir)
+    SqlSurface.registerDocOps(spark, sfDir)
+    // sessionize at a NON-registration gap (45 min) — the TVF argument
+    // reaches the native session_window, not a baked-in constant
+    val sqlS = spark.sql("SELECT * FROM graft_sessionize(45)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val apiS = graft.operators.Sessions
+      .sessionize(spark.read.parquet(s"$sfDir/events.parquet"), gapMinutes = 45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sqlS == apiS && sqlS.nonEmpty)
+    // a second gap gives a different sessionization (argument is live)
+    val sqlS5 = spark.sql("SELECT count(*) FROM graft_sessionize(5)").collect().head.getLong(0)
+    assert(sqlS5 != sqlS.size.toLong)
+    // minhash pairs at the API's registration threshold
+    val sqlM = spark.sql("SELECT doc_a, doc_b FROM graft_minhash_pairs_at(0.5D)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apiM = graft.operators.Dedup
+      .minhashLshPairs(spark.read.parquet(s"$sfDir/documents.parquet"), minEstimate = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlM == apiM)
+    // ANN top-k with query-time k
+    val sqlA = spark.sql("SELECT q_id, n_id FROM graft_ann_topk(3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val apiA = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlA == apiA && sqlA.nonEmpty)
+    // decontamination with query-time evidence bar
+    val sqlD = spark.sql(
+      "SELECT test_doc_id, train_doc_id FROM graft_decontam_at(2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apiD = graft.operators.Dedup
+      .decontaminationPairs(spark.read.parquet(s"$sfDir/documents.parquet"), minShared = 2)
+      .select("test_doc_id", "train_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlD == apiD)
+  }
 }
