@@ -333,6 +333,27 @@ object SparkEntry {
       Similarity.ivfInt8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("q_id", "rank")
     }),
+    // maximal duplicated-substring spans (ExactSubstr-style interval
+    // merge over the q44 duplicate-window hits)
+    "q49_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicateSpans(docs(s, dir), w = 8)
+        .orderBy("doc_id", "span_start")),
+    // bloom-prefiltered decontamination drop list: test-side bloom built
+    // distributedly, train side thinned at the scan by a codegen'd
+    // might_contain, exactness restored by the verify join
+    "q50_bloom_decontam" -> ((s, dir) =>
+      Dedup.bloomDecontamination(docs(s, dir))
+        .orderBy("train_doc_id")),
+    // per-document top-k TF-IDF terms (rational idf for cross-engine
+    // exactness; WindowGroupLimit top-k)
+    "q51_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), k = 5)
+        .orderBy("doc_id", "rank")),
+    // end-to-end corpus selection: quality gate x exact dedup x split x
+    // decontamination composed into the final keep/drop decision table
+    "q52_corpus_filter" -> ((s, dir) =>
+      graft.operators.Corpus.corpusFilter(docs(s, dir))
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
     // synthetic media so the byte contract is oracle-checkable). The
@@ -784,6 +805,132 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM cool t JOIN cool r ON t.fp = r.fp AND t.split = 'test' AND r.split = 'train'
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin),
+    // q50 is the SAME relation as q36's pair set, summarized per train
+    // doc — the bloom prefilter is a cost optimization with no semantic
+    // footprint (no false negatives; false positives die in the verify
+    // join), so the oracle needs no bloom model
+    "q50_bloom_decontam" ->
+      (OracleSql.winnowingCte + ",\n" + OracleSql.trainSplitCte + """,
+        |fsp AS (SELECT f.doc_id, f.fp, s.split FROM wfps f JOIN spl s USING (doc_id)),
+        |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fsp GROUP BY 1) WHERE df > 20),
+        |cool AS (SELECT * FROM fsp WHERE fp NOT IN (SELECT fp FROM hot)),
+        |cp AS (
+        |  SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cool t JOIN cool r ON t.fp = r.fp AND t.split = 'test' AND r.split = 'train'
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT train_doc_id,
+        |  CAST(count(DISTINCT test_doc_id) AS BIGINT) AS n_test_docs,
+        |  max(n_shared) AS max_shared
+        |FROM cp GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q49_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS INT) AS i
+        |  FROM toks
+        |),
+        |passages AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS passage_hash
+        |  FROM pos
+        |),
+        |dup AS (
+        |  SELECT passage_hash FROM passages GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |),
+        |dpos AS (
+        |  SELECT p.doc_id, p.pos FROM passages p JOIN dup d USING (passage_hash)
+        |),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dpos
+        |),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM fl
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  max(pos) + 7 - min(pos) + 1 AS span_tokens
+        |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin,
+    "q51_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks) GROUP BY 1, 2
+        |),
+        |dfd AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toks) GROUP BY 1
+        |),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfd.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+        |      / CAST(dfd.df + 1 AS DOUBLE) AS score
+        |  FROM tf JOIN dfd USING (token) CROSS JOIN n
+        |),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT doc_id, token, tf, df, score, rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q52_corpus_filter" ->
+      (OracleSql.winnowingCte + ",\n" + OracleSql.trainSplitCte + s""",
+        |fsp AS (SELECT f.doc_id, f.fp, s.split FROM wfps f JOIN spl s USING (doc_id)),
+        |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fsp GROUP BY 1) WHERE df > 20),
+        |cool AS (SELECT * FROM fsp WHERE fp NOT IN (SELECT fp FROM hot)),
+        |cp AS (
+        |  SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id
+        |  FROM cool t JOIN cool r ON t.fp = r.fp AND t.split = 'test' AND r.split = 'train'
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |contam AS (SELECT DISTINCT train_doc_id AS doc_id FROM cp),
+        |fpt AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |),
+        |dup AS (
+        |  SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_exact_dup
+        |  FROM fpt
+        |),
+        |qt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |qual AS (
+        |  SELECT doc_id,
+        |    (len(toks) >= 10
+        |      AND CAST(len(list_filter(toks, x -> list_contains(${OracleSql.stopwordList}, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.01
+        |      AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+        |      AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+        |      AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1) AS passes_quality
+        |  FROM qt
+        |)
+        |SELECT d.doc_id, s.split, q.passes_quality, u.is_exact_dup,
+        |  (c.doc_id IS NOT NULL) AS is_contaminated,
+        |  (s.split = 'train' AND q.passes_quality AND NOT u.is_exact_dup
+        |    AND c.doc_id IS NULL) AS kept
+        |FROM documents d
+        |JOIN spl s USING (doc_id)
+        |JOIN qual q USING (doc_id)
+        |JOIN dup u USING (doc_id)
+        |LEFT JOIN contam c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, media_type, width, height, hex AS payload_hex

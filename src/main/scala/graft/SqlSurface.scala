@@ -126,6 +126,20 @@ object SqlSurface {
     Similarity
       .nearDupPairs(embs, threshold = 0.4)
       .createOrReplaceTempView("graft_cosine_pairs")
+    TextAnalysis.duplicateSpans(docs).createOrReplaceTempView("graft_dup_spans")
+    graft.operators.Corpus.corpusFilter(docs).createOrReplaceTempView("graft_corpus_filter")
+    // (bloom decontamination is deliberately NOT a view: its build step
+    // runs a job at registration time, against the lazy-view contract —
+    // SQL users get the same relation from graft_decontam_at)
+    // tf-idf: the full ranked view + a query-time k cut
+    TextAnalysis.tfidfTopK(docs, k = Int.MaxValue)
+      .createOrReplaceTempView("graft_tfidf_ranked")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tfidf_topk(k INT)
+        |RETURNS TABLE (doc_id BIGINT, token STRING, tf BIGINT, df BIGINT, score DOUBLE, rank INT)
+        |RETURN SELECT doc_id, token, tf, df, score, rank
+        |FROM graft_tfidf_ranked WHERE rank <= k
+        |""".stripMargin)
 
     // ---- parameterized table functions over the doc/embedding operators:
     // the UNTHRESHOLDED relation is registered as a lazy view and a SQL

@@ -492,6 +492,69 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-prefiltered decontamination — the shape the SAME check takes
+    * when the train side is the 100 TB corpus: build a bloom filter over
+    * the TEST-split fingerprints (the benchmark side is always tiny —
+    * thousands of documents), then thin the train side with a codegen'd
+    * `bloom_might_contain` probe AT THE SCAN, so non-candidate train rows
+    * are dropped before any shuffle; only bloom survivors reach the exact
+    * fingerprint join. Bloom filters have no false negatives, so the
+    * verify join restores EXACT semantics (false positives die there) —
+    * the output is precisely the per-train-doc contamination summary of
+    * [[decontaminationPairs]], independent of bloom sizing.
+    *
+    * Returns (train_doc_id, n_test_docs, max_shared): the train-corpus
+    * DROP LIST with evidence counts. Probe selectivity rides the
+    * telemetry counter (`bloom_candidate_rows` vs the exact join's
+    * output) — the feedback signal for re-sizing `numBits` as the
+    * benchmark suite grows.
+    */
+  def bloomDecontamination(
+      docs: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2,
+      maxDocFreq: Int = 20,
+      estItems: Long = 1000000L,
+      numBits: Long = 8388608L
+  ): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w)
+      .join(trainSplit(docs).select("doc_id", "split"), Seq("doc_id"))
+    val hot = fps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("fp")
+    // cached: feeds the bloom-build action (test side) and the probe plan
+    // (train side) — one winnowing pass total, same shape as
+    // decontaminationPairs' `cool`
+    val cool = graft.CacheBook.cached(fps.join(broadcast(hot), Seq("fp"), "left_anti"))
+    val test = cool.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("fp"))
+    val train = cool.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("fp"))
+    val bloom = graft.functions.Bloom.buildBytes(test, col("fp"), estItems, numBits)
+    val cand = bloom match {
+      case None => train.where(lit(false)) // no test fps -> nothing contaminated
+      case Some(bytes) =>
+        graft.functions.Bloom.register(docs.sparkSession)
+        graft.Telemetry.observeCount(
+          train.where(graft.functions.Bloom.probe(bytes, col("fp"))),
+          "bloom_candidate_rows"
+        )
+    }
+    cand
+      .join(test, Seq("fp")) // exact verify: bloom false positives die here
+      .groupBy("test_doc_id", "train_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("train_doc_id")
+      .agg(
+        countDistinct("test_doc_id").as("n_test_docs"),
+        max("n_shared").as("max_shared")
+      )
+  }
+
   /** MinHash-LSH near-dup candidate pairs with estimated Jaccard =
     * fraction of equal signature components. Pairs sharing >=1 band
     * bucket; estimate >= minEstimate.

@@ -233,6 +233,20 @@ object TextAnalysis {
     * No document ever cross-joins another.
     */
   def duplicatePassages(docs: DataFrame, w: Int = 8): DataFrame = {
+    val passages = passageHashes(docs, w)
+    val dupDim = passages
+      .groupBy("passage_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    passages
+      .join(dupDim, Seq("passage_hash"))
+      .select("doc_id", "pos", "passage_hash", "n_docs")
+  }
+
+  /** (doc_id, pos, passage_hash) for every w-token window — the shared
+    * derivation of [[duplicatePassages]] and [[duplicateSpans]]: one-pass
+    * posexplode + lead window, O(tokens), partitioned by doc. */
+  private def passageHashes(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col("doc_id"),
@@ -242,7 +256,7 @@ object TextAnalysis {
     val leads = (1 until w).foldLeft(toks) { (df, o) =>
       df.withColumn(s"t$o", lead(col("tok"), o).over(win))
     }
-    val passages = leads
+    leads
       .filter(col(s"t${w - 1}").isNotNull)
       .select(
         col("doc_id"),
@@ -250,13 +264,98 @@ object TextAnalysis {
         md5(concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*))
           .as("passage_hash")
       )
+  }
+
+  /** Maximal duplicated-substring spans — the interval form of exact
+    * substring deduplication (Lee et al. 2022's ExactSubstr, at token
+    * granularity): every token range of a document covered by w-token
+    * passages that occur in more than one document, with overlapping /
+    * adjacent duplicated windows MERGED into maximal spans. The span
+    * list is what a dedup pipeline actually cuts out of the text (vs
+    * [[duplicatePassages]]'s raw window hits).
+    *
+    * A window at position p covers tokens [p, p+w-1]; two duplicated
+    * windows p1 < p2 belong to one span when p2 - p1 <= w (their covered
+    * ranges overlap or touch). Gaps-and-islands over (doc_id, pos):
+    * lag + running sum of span starts, then one groupBy per span — every
+    * window partitions by doc_id, so distribution is per-document, and
+    * the duplicate dim is the same partial-aggregable hash groupBy as
+    * q44's. Returns (doc_id, span_start, span_end, n_windows,
+    * span_tokens) in token positions, inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passages = passageHashes(docs, w)
     val dupDim = passages
       .groupBy("passage_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > 1)
-    passages
-      .join(dupDim, Seq("passage_hash"))
-      .select("doc_id", "pos", "passage_hash", "n_docs")
+      .select("passage_hash")
+    val dupPos = passages.join(dupDim, Seq("passage_hash")).select("doc_id", "pos")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(win))
+      .withColumn(
+        "new_span",
+        (col("prev").isNull || col("pos") - col("prev") > w).cast("int")
+      )
+    flagged
+      .withColumn(
+        "span_id",
+        sum("new_span").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("doc_id", "span_id")
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + w - 1).as("span_end"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        col("n_windows"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens")
+      )
+  }
+
+  /** Per-document top-k TF-IDF terms over the corpus vocabulary — the
+    * keyword/topic-signal pass built on [[vocabStats]]' df dim. The idf
+    * is the log-free rational form (n_docs + 1) / (df + 1): score-rank
+    * equivalent per token and EXACTLY reproducible cross-engine (integer
+    * products below 2^53 and one correctly-rounded division — natural log
+    * is not correctly-rounded in either engine's libm, which would break
+    * hash parity on ties near the k boundary).
+    *
+    * Scale shape: tf is a partial-aggregable groupBy over the token
+    * explode; the df dim equi-joins on token; the corpus size rides a
+    * broadcast 1-row relation (kept lazy — no driver action); the top-k
+    * filter is row_number over (doc_id), which Spark executes as
+    * WindowGroupLimit (per-partition bounded heaps, map-side, before the
+    * doc_id shuffle). Ties break deterministically by token.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfDim = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfDim, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double")
+      )
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
   }
 
   /** Corpus vocabulary statistics: per-token total term frequency and

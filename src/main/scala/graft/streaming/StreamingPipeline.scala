@@ -322,6 +322,63 @@ object StreamingPipeline {
       )
   }
 
+  final case class DedupCandidate(doc_id: Long, fingerprint: String)
+  final case class DedupSeen(canonical_doc_id: Long)
+  final case class DedupDecision(
+      doc_id: Long,
+      fingerprint: String,
+      canonical_doc_id: Long,
+      is_duplicate: Boolean)
+
+  /** Streaming exact dedup at ingest: admit the first document per
+    * fingerprint, mark every later arrival a duplicate of the stored
+    * canonical — the continuous form of [[graft.operators.Dedup.exact]]
+    * for a corpus that grows by micro-batches (the state store holds one
+    * tiny (fingerprint -> canonical id) entry per distinct document, the
+    * same bound as the batch hash-aggregate's key space; at 100 TB this
+    * rides the RocksDB state store).
+    *
+    * Within a micro-batch the group's rows are folded in ascending doc_id
+    * order, so the canonical pick is DETERMINISTIC (min doc_id, the batch
+    * operator's rule) regardless of partitioning/arrival order — batch
+    * and stream declarations agree bit for bit when fed the same data
+    * (proven in StreamingSpec), and a duplicate arriving many batches
+    * later is still suppressed by state.
+    */
+  def dedupGroup(
+      fingerprint: String,
+      rows: Iterator[DedupCandidate],
+      state: GroupState[DedupSeen]
+  ): Iterator[DedupDecision] = {
+    var canonical = state.getOption.map(_.canonical_doc_id).getOrElse(Long.MinValue)
+    val hasState = state.exists
+    val out = rows.toSeq.sortBy(_.doc_id).map { c =>
+      val first = canonical == Long.MinValue
+      if (first) canonical = c.doc_id
+      DedupDecision(c.doc_id, fingerprint, canonical, !first)
+    }
+    if (!hasState || out.nonEmpty) state.update(DedupSeen(canonical))
+    out.iterator
+  }
+
+  /** Wire [[dedupGroup]] over a document stream carrying (doc_id, text).
+    * The fingerprint is the batch operator's md5 over whitespace-
+    * normalized lowercase text, computed as a projection on the stream. */
+  def streamingExactDedup(
+      spark: SparkSession,
+      docsStream: DataFrame
+  ): org.apache.spark.sql.Dataset[DedupDecision] = {
+    import spark.implicits._
+    docsStream
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint")
+      )
+      .as[DedupCandidate]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(dedupGroup)
+  }
+
   /** The G5+G6 streaming composition: the windowed RED rollup fed ONLY
     * by spans the TTL'd cardinality cache admits — the exact runtime
     * shape of the reference's metric path (captureMetrics gated by the

@@ -348,4 +348,107 @@ class DocOpsSpec extends SparkTestBase {
       (3L, us(0), us(59), 2L)
     ))
   }
+
+  test("duplicate spans: overlapping dup windows merge into one maximal span; separated spans stay apart") {
+    // docs 1 and 2 share a 10-token prefix (3 overlapping 8-windows at
+    // pos 0,1,2 -> ONE span [0,9]) and a separate 8-token suffix starting
+    // after unique middles of different lengths
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tailSeq = (1 to 8).map(i => s"e$i").mkString(" ")
+    val d = docDf(
+      (1L, s"$shared m1 m2 m3 $tailSeq"),
+      (2L, s"$shared n1 n2 n3 n4 n5 $tailSeq"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    )
+    val spans = TextAnalysis.duplicateSpans(d, w = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+                 r.getAs[Int]("span_end"), r.getAs[Long]("n_windows"), r.getAs[Int]("span_tokens")))
+      .toSet
+    // doc 1: prefix span pos 0..2 -> [0, 9]; suffix at pos 13 -> [13, 20]
+    // doc 2: prefix [0, 9]; suffix at pos 15 -> [15, 22]; doc 3: nothing
+    assert(spans == Set(
+      (1L, 0, 9, 3L, 10),
+      (1L, 13, 20, 1L, 8),
+      (2L, 0, 9, 3L, 10),
+      (2L, 15, 22, 1L, 8)
+    ))
+  }
+
+  test("duplicate spans: adjacent windows (gap == w) merge; gap > w splits") {
+    // one 8-window at pos 0 and another at pos 8: covered ranges [0,7] and
+    // [8,15] touch -> one span. At pos 17 the range [17,24] leaves token 16
+    // uncovered -> separate span.
+    val blockA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val blockC = (1 to 8).map(i => s"c$i").mkString(" ")
+    val d = docDf(
+      (1L, s"$blockA $blockB x $blockC"),      // dup windows at 0, 8, 17
+      (2L, s"$blockA $blockB y yy $blockC"),   // same blocks, different gaps
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    )
+    val spans = TextAnalysis.duplicateSpans(d, w = 8)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+      .toSet
+    // windows 0 and 8 merge ([0,15]); 17 is its own span ([17,24])
+    assert(spans == Set((0, 15), (17, 24)))
+  }
+
+  test("bloom decontamination equals the exact decontamination summary (no false negatives)") {
+    val exact = Dedup.decontaminationPairs(docs)
+      .groupBy("train_doc_id")
+      .agg(countDistinct("test_doc_id").as("n_test_docs"), max("n_shared").as("max_shared"))
+      .collect()
+      .map(r => (r.getAs[Long]("train_doc_id"), r.getAs[Long]("n_test_docs"), r.getAs[Long]("max_shared")))
+      .toSet
+    val bloomed = Dedup.bloomDecontamination(docs).collect()
+      .map(r => (r.getAs[Long]("train_doc_id"), r.getAs[Long]("n_test_docs"), r.getAs[Long]("max_shared")))
+      .toSet
+    assert(bloomed == exact)
+    // an aggressively undersized bloom (high FP rate) still yields the
+    // exact output — false positives die in the verify join
+    val tiny = Dedup.bloomDecontamination(docs, estItems = 8L, numBits = 64L).collect()
+      .map(r => (r.getAs[Long]("train_doc_id"), r.getAs[Long]("n_test_docs"), r.getAs[Long]("max_shared")))
+      .toSet
+    assert(tiny == exact)
+  }
+
+  test("tfidf top-k: ranks bounded, scores non-increasing, rare term outranks ubiquitous term") {
+    val common = "alpha"
+    val d = docDf(
+      (1L, s"$common rareword $common"), // alpha tf=2 df=4 -> 2.0; rareword tf=1 df=1 -> 2.5
+      (2L, s"$common other1 other2"),
+      (3L, s"$common other3 other4"),
+      (4L, s"$common other5 other6")
+    )
+    val r = TextAnalysis.tfidfTopK(d, k = 3).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // rareword (df=1) beats alpha (df=4) in doc 1 despite equal tf
+    val doc1 = byDoc(1L).sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("token"))
+    assert(doc1.indexOf("rareword") < doc1.indexOf(common))
+  }
+
+  test("corpus filter: exact dups and non-train docs are dropped; decisions line up with components") {
+    val r = graft.operators.Corpus.corpusFilter(docs).cache()
+    assert(r.count() == docs.count()) // one decision per document
+    // no kept doc may be a duplicate, fail quality, be contaminated, or sit outside train
+    assert(r.filter(col("kept") &&
+      (col("is_exact_dup") || !col("passes_quality") ||
+        col("is_contaminated") || col("split") =!= "train")).count() == 0)
+    // every train doc passing all gates is kept
+    assert(r.filter(!col("kept") && col("split") === "train" && col("passes_quality") &&
+      !col("is_exact_dup") && !col("is_contaminated")).count() == 0)
+    // cross-check the contamination flag against the pair operator
+    val contam = Dedup.decontaminationPairs(docs)
+      .select(col("train_doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val flagged = r.filter(col("is_contaminated")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == contam)
+    r.unpersist()
+  }
 }

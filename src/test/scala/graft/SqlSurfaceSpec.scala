@@ -92,4 +92,25 @@ class SqlSurfaceSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sqlD == apiD)
   }
+
+  test("round-5 views: tfidf table function, dup spans, corpus filter match the API") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sqlT = spark.sql("SELECT doc_id, token, rank FROM graft_tfidf_topk(3)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val apiT = graft.operators.TextAnalysis.tfidfTopK(docs, k = 3)
+      .select("doc_id", "token", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(sqlT == apiT && sqlT.nonEmpty)
+    val sqlS = spark.sql(
+      "SELECT doc_id, span_start, span_end FROM graft_dup_spans")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val apiS = graft.operators.TextAnalysis.duplicateSpans(docs)
+      .select("doc_id", "span_start", "span_end")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(sqlS == apiS)
+    val keptSql = spark.sql("SELECT count(*) FROM graft_corpus_filter WHERE kept").head().getLong(0)
+    val keptApi = graft.operators.Corpus.corpusFilter(docs)
+      .filter(col("kept")).count()
+    assert(keptSql == keptApi && keptSql > 0)
+  }
 }

@@ -309,4 +309,39 @@ class StreamingSpec extends SparkTestBase {
     assert(b0.toSeq == Seq("c1" -> "normal"))
     assert(b1.toSeq == Seq("c2" -> "slow"))
   }
+
+  test("streaming exact dedup matches the batch operator and suppresses dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).cache()
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingPipeline.streamingExactDedup(
+      spark, input.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: the whole corpus in one micro-batch
+      input.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      // cross-batch: re-send the first doc's text under a fresh id ->
+      // duplicate of the STORED canonical, decided purely from state
+      val first = docs.orderBy("doc_id").head()
+      input.addData((999999L, first.getString(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup_out")
+      .select("doc_id", "canonical_doc_id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val batch = graft.operators.Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_doc_id"), r.getAs[Boolean]("is_duplicate"))).toMap
+    // every corpus decision identical to the batch operator's
+    assert(batch.forall { case (id, dec) => streamed(id) == dec })
+    // the late re-ingest is flagged against the first doc's canonical group
+    val canonFirst = batch(docs.orderBy("doc_id").head().getLong(0))._1
+    assert(streamed(999999L) == (canonFirst, true))
+    docs.unpersist()
+  }
 }
