@@ -354,6 +354,20 @@ object SparkEntry {
     "q52_corpus_filter" -> ((s, dir) =>
       graft.operators.Corpus.corpusFilter(docs(s, dir))
         .orderBy("doc_id")),
+    // duplicated-span REMOVAL: each doc's text with q49's intervals cut
+    // out (the ExactSubstr output artifact)
+    "q53_dedup_clean" -> ((s, dir) =>
+      TextAnalysis.removeDuplicateSpans(docs(s, dir), w = 8)
+        .orderBy("doc_id")),
+    // corpus-build report: per (lang, split) doc/token counts before and
+    // after the q52 gates (the data-card rollup)
+    "q54_corpus_report" -> ((s, dir) =>
+      graft.operators.Corpus.corpusReport(docs(s, dir))
+        .orderBy("lang", "split")),
+    // corpus-wide top-k frequent trigram discovery (stop-phrase mining;
+    // global top-k as TakeOrderedAndProject, never a full-vocab sort)
+    "q55_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), w = 3, k = 100)),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
     // synthetic media so the byte contract is oracle-checkable). The
@@ -931,6 +945,131 @@ object SparkEntry {
         |JOIN dup u USING (doc_id)
         |LEFT JOIN contam c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    "q53_dedup_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS INT) AS i
+        |  FROM toks
+        |),
+        |passages AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS passage_hash
+        |  FROM pos
+        |),
+        |dup AS (
+        |  SELECT passage_hash FROM passages GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |),
+        |dpos AS (
+        |  SELECT p.doc_id, p.pos FROM passages p JOIN dup d USING (passage_hash)
+        |),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dpos
+        |),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM fl
+        |),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM sp GROUP BY doc_id, span_id
+        |),
+        |tk AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i
+        |  FROM toks
+        |),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM tk),
+        |keep AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+        |),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+        |  CAST(len(t2.toks) AS BIGINT) - COALESCE(r.n_tokens_kept, 0) AS n_tokens_removed
+        |FROM documents d
+        |JOIN toks t2 USING (doc_id)
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q54_corpus_report" ->
+      (OracleSql.winnowingCte + ",\n" + OracleSql.trainSplitCte + s""",
+        |fsp AS (SELECT f.doc_id, f.fp, s.split FROM wfps f JOIN spl s USING (doc_id)),
+        |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fsp GROUP BY 1) WHERE df > 20),
+        |cool AS (SELECT * FROM fsp WHERE fp NOT IN (SELECT fp FROM hot)),
+        |cp AS (
+        |  SELECT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id
+        |  FROM cool t JOIN cool r ON t.fp = r.fp AND t.split = 'test' AND r.split = 'train'
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |contam AS (SELECT DISTINCT train_doc_id AS doc_id FROM cp),
+        |fpt AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |),
+        |dup AS (
+        |  SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_exact_dup
+        |  FROM fpt
+        |),
+        |qt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |qual AS (
+        |  SELECT doc_id,
+        |    (len(toks) >= 10
+        |      AND CAST(len(list_filter(toks, x -> list_contains(${OracleSql.stopwordList}, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.01
+        |      AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+        |      AND (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)) / CAST(len(text) AS DOUBLE) < 0.2
+        |      AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.1) AS passes_quality
+        |  FROM qt
+        |),
+        |dec AS (
+        |  SELECT d.doc_id, d.lang, s.split,
+        |    (s.split = 'train' AND q.passes_quality AND NOT u.is_exact_dup
+        |      AND c.doc_id IS NULL) AS kept,
+        |    CAST(len(t.toks) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  JOIN spl s USING (doc_id)
+        |  JOIN qual q USING (doc_id)
+        |  JOIN dup u USING (doc_id)
+        |  JOIN qt t USING (doc_id)
+        |  LEFT JOIN contam c USING (doc_id)
+        |)
+        |SELECT lang, split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS n_kept_tokens
+        |FROM dec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q55_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS INT) AS i
+        |  FROM toks
+        |),
+        |grams AS (SELECT array_to_string(toks[i:i+2], ' ') AS gram FROM pos)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM grams GROUP BY 1 ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, media_type, width, height, hex AS payload_hex

@@ -127,7 +127,10 @@ object SqlSurface {
       .nearDupPairs(embs, threshold = 0.4)
       .createOrReplaceTempView("graft_cosine_pairs")
     TextAnalysis.duplicateSpans(docs).createOrReplaceTempView("graft_dup_spans")
+    TextAnalysis.removeDuplicateSpans(docs).createOrReplaceTempView("graft_dedup_clean")
+    TextAnalysis.topNgrams(docs).createOrReplaceTempView("graft_top_ngrams")
     graft.operators.Corpus.corpusFilter(docs).createOrReplaceTempView("graft_corpus_filter")
+    graft.operators.Corpus.corpusReport(docs).createOrReplaceTempView("graft_corpus_report")
     // (bloom decontamination is deliberately NOT a view: its build step
     // runs a job at registration time, against the lazy-view contract —
     // SQL users get the same relation from graft_decontam_at)

@@ -46,4 +46,26 @@ object Corpus {
           .as("kept")
       )
   }
+
+  /** Corpus-build report: per (lang, split) document and token counts
+    * before and after [[corpusFilter]]'s gates — the rollup a corpus
+    * build publishes as its data card. One equi-join of two per-doc
+    * relations on doc_id, then a partial-aggregable groupBy over a
+    * (langs x 3)-row result; at 100 TB this is the cheapest query in
+    * the family (pure map-side combine into a tiny key space).
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val decisions = corpusFilter(docs)
+    val tokens = TextAnalysis.tokenStats(docs).select(col("doc_id"), col("n_tokens"))
+    decisions
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(tokens, Seq("doc_id"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L)).as("n_kept_tokens")
+      )
+  }
 }

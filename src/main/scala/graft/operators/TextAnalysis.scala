@@ -319,6 +319,52 @@ object TextAnalysis {
       )
   }
 
+  /** Duplicated-span REMOVAL: re-emit each document's text with every
+    * [[duplicateSpans]] interval cut out (tokens re-joined by single
+    * spaces) — the ExactSubstr dedup's actual output artifact. Documents
+    * with no duplicated spans pass through with whitespace-normalized
+    * text (the same canonical form the fingerprint uses), so the
+    * operator is idempotent: re-running it on its own output removes
+    * nothing new.
+    *
+    * Scale shape: the span relation joins back to the token explode on
+    * doc_id (per-doc bounded, the same partitioning every window here
+    * already uses), a token survives when NO span covers its position
+    * (left anti join on a range predicate per doc), and the rebuild is
+    * one groupBy(doc_id) concat over position-sorted survivors.
+    */
+  def removeDuplicateSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val spans = duplicateSpans(docs, w).select("doc_id", "span_start", "span_end")
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))
+    )
+    val kept = toks
+      .join(
+        spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti"
+      )
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok")).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept")
+      )
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed")
+      )
+  }
+
   /** Per-document top-k TF-IDF terms over the corpus vocabulary — the
     * keyword/topic-signal pass built on [[vocabStats]]' df dim. The idf
     * is the log-free rational form (n_docs + 1) / (df + 1): score-rank
@@ -340,8 +386,10 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val dfDim = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+    // df falls out of the tf relation (exactly one row per (doc, token)),
+    // so the corpus is tokenized ONCE; the tf aggregate feeds both the
+    // dim and the join through one reused exchange
+    val dfDim = tf
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -373,6 +421,32 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
     tf.join(df, Seq("token")).select("token", "tf", "df")
+  }
+
+  /** Corpus-wide top-k most frequent w-grams (ALL occurrences, unlike
+    * the per-doc-distinct shingle sets) — the stop-phrase / boilerplate
+    * discovery pass that feeds df caps and filter rules. The global
+    * top-k executes as TakeOrderedAndProject over the partial-aggregated
+    * gram counts: each partition ships only its local top-k to the
+    * driver, never the full vocabulary. Ties break by gram ascending.
+    */
+  def topNgrams(docs: DataFrame, w: Int = 3, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok"))
+    )
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until w).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t$o", lead(col("tok"), o).over(win))
+    }
+    leads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
   }
 
   def fingerprint(text: Column): Column =

@@ -434,6 +434,55 @@ class DocOpsSpec extends SparkTestBase {
     assert(doc1.indexOf("rareword") < doc1.indexOf(common))
   }
 
+  test("duplicate-span removal: spans cut, unique docs pass through normalized, idempotent") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tailSeq = (1 to 8).map(i => s"e$i").mkString(" ")
+    val d = docDf(
+      (1L, s"$shared m1 m2 m3 $tailSeq"),   // 21 tokens, spans [0,9]+[13,20] -> keep m1 m2 m3
+      (2L, s"$shared n1 n2 n3 n4 n5 $tailSeq"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    )
+    val r = TextAnalysis.removeDuplicateSpans(d, w = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_tokens"),
+         x.getAs[Long]("n_tokens_kept"), x.getAs[Long]("n_tokens_removed"))).toMap
+    assert(r(1L) == ("m1 m2 m3", 21L, 3L, 18L))
+    assert(r(2L) == ("n1 n2 n3 n4 n5", 23L, 5L, 18L))
+    assert(r(3L) == ("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 10L, 10L, 0L))
+    // idempotence: the cleaned corpus has no duplicated spans left
+    val cleaned = r.toSeq.map { case (id, (t, _, _, _)) => (id, t) }
+    val again = TextAnalysis.removeDuplicateSpans(docDf(cleaned: _*), w = 8)
+    assert(again.filter(col("n_tokens_removed") > 0).count() == 0)
+  }
+
+  test("corpus report: totals line up with the per-doc decisions") {
+    val report = graft.operators.Corpus.corpusReport(docs).collect()
+    val decisions = graft.operators.Corpus.corpusFilter(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .join(TextAnalysis.tokenStats(docs).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .cache()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(report.map(_.getAs[Long]("n_kept_docs")).sum ==
+      decisions.filter(col("kept")).count())
+    val tokSum = decisions.agg(sum(col("n_tokens").cast("long"))).head().getLong(0)
+    assert(report.map(_.getAs[Long]("n_tokens")).sum == tokSum)
+    decisions.unpersist()
+  }
+
+  test("top n-grams: counts all occurrences, ordered by frequency then gram, capped at k") {
+    val d = docDf(
+      (1L, "a b c a b c a b c"), // "a b c" x3 (+ "b c a" x2, "c a b" x2)
+      (2L, "a b c x y z"),
+      (3L, "x y z q")
+    )
+    val r = TextAnalysis.topNgrams(d, w = 3, k = 3).collect()
+      .map(x => (x.getAs[String]("gram"), x.getAs[Long]("n")))
+    assert(r.length == 3)
+    assert(r.head == ("a b c", 4L)) // 3 in doc 1 + 1 in doc 2
+    // remaining two both have n=2; tie broken by gram ascending
+    assert(r(1) == ("b c a", 2L) && r(2) == ("c a b", 2L))
+  }
+
   test("corpus filter: exact dups and non-train docs are dropped; decisions line up with components") {
     val r = graft.operators.Corpus.corpusFilter(docs).cache()
     assert(r.count() == docs.count()) // one decision per document
