@@ -409,6 +409,33 @@ object OracleSql {
        |WHERE ${cosSql("ea.v", "eb.v")} >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q56 oracle: recursive transitive closure over the q32 cosine
+    * near-dup edge set (identical bucket geometry + quantized cosine),
+    * then min reachable id per node — mirrors
+    * Similarity.semanticClusters' min-label CC. */
+  def semanticClustersOracle(threshold: Double): String =
+    (embQuantCte + ",\n" + lshBucketsCte() + s""",
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM tb a JOIN tb b
+       |    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+       |  WHERE ${cosSql("ea.v", "eb.v")} >= $threshold
+       |),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+       |  UNION
+       |  SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+       |)
+       |SELECT src AS vec_id, min(dst) AS cluster_id, (src = min(dst)) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
   /** q33 oracle: IVF top-k (mirrors Similarity.ivfTopK — fixed centroid
     * vectors, nearest-centroid inverted lists, nProbe query probing). */
   def ivfOracle(k: Int, nCentroids: Int, nProbe: Int): String =

@@ -368,6 +368,26 @@ object SparkEntry {
     // global top-k as TakeOrderedAndProject, never a full-vocab sort)
     "q55_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), w = 3, k = 100)),
+    // SemDeDup: connected components over the embedding cosine near-dup
+    // edge set (q32 geometry) — one canonical member per meaning-cluster
+    "q56_semantic_clusters" -> ((s, dir) =>
+      Similarity.semanticClusters(embs(s, dir), threshold = 0.4)
+        .orderBy("vec_id")),
+    // cross-source duplicate overlap matrix (distinct shared content
+    // fingerprints per unordered source pair)
+    "q57_source_overlap" -> ((s, dir) =>
+      graft.operators.Corpus.sourceOverlap(docs(s, dir))
+        .orderBy("source_a", "source_b")),
+    // per-language exact token-length percentiles via the histogram
+    // cumulative-sum shape (integer-exact disc percentiles)
+    "q58_len_percentiles" -> ((s, dir) =>
+      TextAnalysis.lengthPercentiles(docs(s, dir)).orderBy("lang")),
+    // deterministic per-language token-budget cap: greedy hash-order
+    // selection via the bucket-decomposed cumulative sum (never a
+    // per-lang global sort)
+    "q59_token_budget" -> ((s, dir) =>
+      graft.operators.Corpus.tokenBudgetSample(docs(s, dir), budgetTokens = 2000L)
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing (binary payload columns; md5-derived
     // synthetic media so the byte contract is oracle-checkable). The
@@ -1070,6 +1090,65 @@ object SparkEntry {
         |grams AS (SELECT array_to_string(toks[i:i+2], ' ') AS gram FROM pos)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n
         |FROM grams GROUP BY 1 ORDER BY n DESC, gram LIMIT 100""".stripMargin,
+    "q56_semantic_clusters" -> OracleSql.semanticClustersOracle(threshold = 0.4),
+    "q57_source_overlap" ->
+      (OracleSql.winnowingCte + """,
+        |hotw AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS df FROM wfps GROUP BY 1)
+        |  WHERE df > 20
+        |),
+        |coolw AS (SELECT * FROM wfps WHERE fp NOT IN (SELECT fp FROM hotw)),
+        |sfp AS (
+        |  SELECT DISTINCT d.source, c.fp
+        |  FROM coolw c JOIN documents d USING (doc_id)
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+        |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q58_len_percentiles" ->
+      """WITH lens AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |hist AS (
+        |  SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lens GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT lang, n_tokens, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist
+        |)
+        |SELECT lang,
+        |  CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum >= (1 * n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+        |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_tokens END) AS p99_tokens,
+        |  min(n_tokens) AS min_tokens,
+        |  max(n_tokens) AS max_tokens
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':budget')
+        |         & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM b
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  cum_tokens <= 2000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q40_media_stats" ->
       (OracleSql.syntheticMediaCte + """
         |SELECT doc_id, media_type, width, height, hex AS payload_hex

@@ -131,6 +131,11 @@ object SqlSurface {
     TextAnalysis.topNgrams(docs).createOrReplaceTempView("graft_top_ngrams")
     graft.operators.Corpus.corpusFilter(docs).createOrReplaceTempView("graft_corpus_filter")
     graft.operators.Corpus.corpusReport(docs).createOrReplaceTempView("graft_corpus_report")
+    graft.operators.Corpus.sourceOverlap(docs).createOrReplaceTempView("graft_source_overlap")
+    TextAnalysis.lengthPercentiles(docs).createOrReplaceTempView("graft_len_percentiles")
+    Similarity
+      .semanticClusters(embs, threshold = 0.4)
+      .createOrReplaceTempView("graft_semantic_clusters")
     // (bloom decontamination is deliberately NOT a view: its build step
     // runs a job at registration time, against the lazy-view contract —
     // SQL users get the same relation from graft_decontam_at)
@@ -180,6 +185,16 @@ object SqlSurface {
         |RETURNS TABLE (q_id BIGINT, n_id BIGINT, rank INT, cosine DOUBLE)
         |RETURN SELECT q_id, n_id, rank, cosine
         |FROM graft_ann_ranked WHERE rank <= k
+        |""".stripMargin)
+    // token budget: the cumulative-tokens relation is budget-independent
+    // (kept = cum <= budget), so the budget is a pure query-time argument
+    graft.operators.Corpus.tokenBudgetSample(docs, budgetTokens = Long.MaxValue)
+      .createOrReplaceTempView("graft_token_cum")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_budget(budget BIGINT)
+        |RETURNS TABLE (doc_id BIGINT, lang STRING, n_tokens BIGINT, cum_tokens BIGINT, kept BOOLEAN)
+        |RETURN SELECT doc_id, lang, n_tokens, cum_tokens, cum_tokens <= budget AS kept
+        |FROM graft_token_cum
         |""".stripMargin)
   }
 }

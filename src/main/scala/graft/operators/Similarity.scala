@@ -349,4 +349,33 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic duplicate clusters: connected components
+    * over the embedding cosine near-dup edge set ([[nearDupPairs]] —
+    * LSH-bucketed candidate generation, exact quantized-cosine verify),
+    * resolved with the same min-label propagation loop as the text-side
+    * [[Dedup.duplicateClusters]]. Semantic duplication is transitive in
+    * practice (paraphrase chains), so the pair set alone under-prunes;
+    * the component view picks ONE canonical member per meaning-cluster.
+    *
+    * Scale shape: edge generation is the q32 bucketed equi-join (never
+    * all-pairs); the CC loop is the shared big-graph min-label iteration
+    * — each round one partial-aggregable groupBy(min), candidate DAG
+    * materialized exactly once, lineage checkpointed. Returns
+    * (vec_id, cluster_id = min vec_id in the component, is_canonical);
+    * dropping is_canonical = false rows is the SemDeDup prune.
+    */
+  def semanticClusters(
+      corpus: DataFrame,
+      threshold: Double = 0.9,
+      nPlanes: Int = 6,
+      dims: Int = 64,
+      nTables: Int = 8
+  ): DataFrame = {
+    val edges = nearDupPairs(corpus, threshold, nPlanes, dims, nTables)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.operators.Dedup
+      .duplicateClusters(corpus.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
 }

@@ -449,6 +449,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact per-language token-length percentiles (p50/p90/p99, disc
+    * semantics: the smallest length whose cumulative doc count reaches
+    * ceil(p*n), computed in pure integer arithmetic so both engines
+    * agree bit-for-bit) — the length-distribution block of a corpus
+    * data card, and the input to truncation/packing capacity choices.
+    *
+    * Scale shape: never a window over raw documents (lang is a
+    * low-cardinality key — a per-lang row_number would funnel the corpus
+    * through a handful of partitions). Instead the corpus folds
+    * map-side into a (lang, n_tokens) HISTOGRAM — bounded by langs x
+    * distinct lengths, ~thousands of rows at any corpus size — and the
+    * cumulative scan + percentile selection run on that tiny aggregate.
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang", "n_tokens")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("lang").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+    // ceil(p*n) in integer math: ceil(a*n/b) = (a*n + b - 1) DIV b
+    def pick(num: Int, den: Int, name: String) =
+      min(when(col("cum") >= expr(s"($num * n + ${den - 1}) DIV $den"), col("n_tokens")))
+        .as(name)
+    cum
+      .groupBy("lang")
+      .agg(
+        max("n").as("n_docs"),
+        pick(1, 2, "p50_tokens"),
+        pick(9, 10, "p90_tokens"),
+        pick(99, 100, "p99_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens")
+      )
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 

@@ -235,6 +235,90 @@ class DocOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"bucketed near-dup recall $recall (|exact|=${exact.size})")
   }
 
+  test("semantic clusters: CC over the near-dup edge set matches a union-find model") {
+    // model: union-find over the SAME edge relation the operator uses
+    val edges = Similarity.nearDupPairs(embs, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture should contain cosine pairs at 0.4")
+    val ids = embs.select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Similarity.semanticClusters(embs, threshold = 0.4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got.size == ids.length)
+    ids.foreach { i =>
+      assert(got(i)._1 == expected(i), s"vec $i: cluster ${got(i)._1} != model ${expected(i)}")
+      assert(got(i)._2 == (expected(i) == i))
+    }
+    // at least one non-trivial cluster exists in the fixture
+    assert(got.values.exists(!_._2))
+  }
+
+  test("source overlap: shared winnowing fps across sources; df cap drops boilerplate") {
+    val copied = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq(
+      (1L, copied, "web"),
+      (2L, copied, "books"),                       // near-verbatim cross-source copy
+      (3L, "zq xv wk jm pf unrelated words qqq", "wiki") // no shared content
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.Corpus.sourceOverlap(d).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("n_shared_fingerprints")).toMap
+    assert(r.keySet == Set(("books", "web")))
+    assert(r(("books", "web")) > 0)
+    // hot-fp cap: with maxDocFreq = 1 every shared fp (df = 2) is dropped
+    assert(graft.operators.Corpus.sourceOverlap(d, maxDocFreq = 1).count() == 0)
+  }
+
+  test("token budget: bucket-decomposed cumsum equals the naive per-lang hash-order scan") {
+    val budget = 2000L
+    val got = graft.operators.Corpus.tokenBudgetSample(docs, budgetTokens = budget)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept"))).toMap
+    // naive model: same hash, one global (h, doc_id) order per lang
+    graft.functions.Hash64.register(spark)
+    val h = graft.functions.Hash64
+      .md5lower64(concat(col("doc_id").cast("string"), lit(":budget")))
+      .bitwiseAND(lit(Long.MaxValue))
+    val rows = docs
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("h")))
+    val model = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._4, r._1)).toSeq.map { r => cum += r._3; r._1 -> (cum, cum <= budget) }
+    }.toMap
+    assert(got == model)
+    // the budget binds: both kept and dropped docs exist in every language
+    val byLang = rows.map(r => r._1 -> r._2).toMap
+    docs.select("lang").distinct().collect().map(_.getString(0)).foreach { l =>
+      val ks = got.collect { case (id, (_, k)) if byLang(id) == l => k }
+      assert(ks.exists(identity) && ks.exists(!_), s"budget should bind for lang $l")
+    }
+  }
+
+  test("length percentiles: integer-exact disc selection over the per-lang histogram") {
+    val en = (1 to 10).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" "), "en"))
+    val de = Seq(11L -> 2, 12L -> 2, 13L -> 2, 14L -> 4).map { case (id, n) =>
+      (id, (1 to n).map(i => s"d$i").mkString(" "), "de")
+    }
+    val d = (en ++ de).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.lengthPercentiles(d).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("p50_tokens"), x.getAs[Long]("p90_tokens"),
+         x.getAs[Long]("p99_tokens"), x.getAs[Long]("min_tokens"), x.getAs[Long]("max_tokens"))).toMap
+    assert(r("en") == (10L, 5L, 9L, 10L, 1L, 10L))
+    assert(r("de") == (4L, 2L, 4L, 4L, 2L, 4L))
+  }
+
   test("IVF ANN: probing more lists increases recall; nProbe=all is exact") {
     val queries = embs.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(embs, queries, 5)

@@ -91,6 +91,13 @@ class SqlSurfaceSpec extends SparkTestBase {
       .select("test_doc_id", "train_doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sqlD == apiD)
+    // token budget with query-time budget (cum relation is budget-free)
+    val sqlB = spark.sql("SELECT doc_id, kept FROM graft_token_budget(2000)")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val apiB = graft.operators.Corpus
+      .tokenBudgetSample(spark.read.parquet(s"$sfDir/documents.parquet"), budgetTokens = 2000L)
+      .select("doc_id", "kept").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(sqlB == apiB && sqlB.exists(_._2) && sqlB.exists(!_._2))
   }
 
   test("round-5 views: tfidf table function, dup spans, corpus filter match the API") {
