@@ -77,11 +77,16 @@ object Corpus {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("fp")
-    val srcFps = fps
-      .join(hot, Seq("fp"), "left_anti")
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select("source", "fp")
-      .distinct()
+    // cached: the distinct (source, fp) relation feeds BOTH self-join
+    // sides — uncached, the winnowing DAG would derive twice more
+    // (tiny rows: source + 64-bit fp; released via CacheBook)
+    val srcFps = graft.CacheBook.cached(
+      fps
+        .join(hot, Seq("fp"), "left_anti")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select("source", "fp")
+        .distinct()
+    )
     srcFps.as("a")
       .join(
         srcFps.as("b"),
