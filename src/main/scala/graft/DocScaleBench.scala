@@ -48,6 +48,22 @@ object DocScaleBench {
     t("pack") { Assemble.packSequences(docs).count() }
     t("chunks") { Assemble.chunk(docs).count() }
     t("token_stats") { TextAnalysis.tokenStats(docs).count() }
+    t("dup_span_removal") {
+      TextAnalysis.removeDuplicateSpans(docs).filter(col("n_tokens_removed") > 0).count()
+    }
+    t("top_ngrams") { TextAnalysis.topNgrams(docs).count() }
+    t("len_percentiles") { TextAnalysis.lengthPercentiles(docs).count() }
+    t("token_budget") {
+      graft.operators.Corpus.tokenBudgetSample(docs, budgetTokens = nDocs * 40L)
+        .filter(col("kept")).count()
+    }
+    // planted near-dup groups span sources (consecutive doc_ids, mod-20
+    // source) so cross-source shared fingerprints exist by construction
+    val srcDocs = docs.withColumn(
+      "source", concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string")))
+    t("source_overlap") {
+      graft.operators.Corpus.sourceOverlap(srcDocs, maxDocFreq = 50).count()
+    }
 
     // embedding-side operators at the same scale (planted-group vectors)
     val embs = graft.sources.DocGen.syntheticEmbeddings(spark, nDocs).cache()
@@ -61,6 +77,11 @@ object DocScaleBench {
     t("ann_ivf_topk") { graft.operators.Similarity.ivfTopK(embs, queries, k = 5).count() }
     t("cosine_pairs") {
       graft.operators.Similarity.nearDupPairs(embs, threshold = 0.9, nPlanes = nPlanes).count()
+    }
+    t("semantic_clusters") {
+      graft.operators.Similarity
+        .semanticClusters(embs, threshold = 0.9, nPlanes = nPlanes)
+        .filter(!col("is_canonical")).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
