@@ -75,7 +75,7 @@ object Pipeline {
         approx_count_distinct(col("conv_id")).as("approx_convs")
       )
     val enriched = if (cache) enriched0.cache() else enriched0
-    val routing0 = Route.convRouting(enriched, cfg)
+    val routing0 = Route.convRouting(enriched, cfg, eagerCache = cache)
     val routing = if (cache) routing0.cache() else routing0
     // ONE pass over the spans feeds every metric table (rollup tree).
     // The UNCAPPED raw rollup is the cached node: the cardinality-cap dim

@@ -246,10 +246,18 @@ object Dedup {
         ),
       "simhash_candidate_pairs" // multi-index bucket join rows, pre-dedup
     )
+    // exact Hamming filter BEFORE the pair dedup: hamming is determined
+    // by the pair (same simhashes on every duplicate candidate row), so
+    // filter-then-dedup equals dedup-then-filter — but the dedup's
+    // aggregation then runs over only the rows that pass (~1-2% of the
+    // multi-index candidates) instead of building first()-state for
+    // every candidate pair (guide §2.3: shuffle/aggregate fewer bytes).
+    // The telemetry counters are unchanged: candidate rows are observed
+    // above (pre-dedup), output rows here (post-dedup, identical set).
     graft.Telemetry.observeCount(
       cand
-        .dropDuplicates("doc_a", "doc_b")
-        .filter(col("hamming") <= maxHamming),
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("doc_a", "doc_b"),
       "simhash_output_pairs"
     )
   }
@@ -406,6 +414,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // loud non-convergence signal (a silent maxIters exit would return
+    // labels mid-propagation — wrong cluster ids with no alarm; components
+    // deeper than maxIters hops need a larger bound)
+    if (!converged)
+      System.err.println(
+        s"[graft] duplicateClusters did NOT converge after $maxIters rounds — " +
+          "cluster_id/is_canonical may be mid-propagation; raise maxIters " +
+          "(component diameter exceeds the bound)")
     edgesCached.unpersist()
     labels.select(
       col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.PipelineConfig
@@ -41,26 +41,48 @@ import graft.model.PipelineConfig
   */
 object Route {
 
-  /** Segment-level (conv_id, service) derived columns.
+  /** Conversation-level fold — one row per conversation with its picked
+    * main-span dims, BEFORE the cap / sampling / top-K stages.
+    * Row-identical to [[convRouting]] output (every later stage only adds
+    * columns: the rank dim join matches all rows by construction and the
+    * windows are projections), so consumers that need conversation rows
+    * but no routing decision — the trace counter, q17's scrape — read
+    * this and skip the window stages entirely.
     *
-    * Implemented as a partial-aggregable groupBy + equi-join rather than
-    * window functions: a window over (conv_id, service) puts every span of
-    * a hot conversation on one task with no map-side combine, while the
-    * hash aggregate reduces each input partition to <= |distinct segments|
-    * rows before the shuffle, and the join back is AQE-skew-splittable
-    * (spark.sql.adaptive.skewJoin) — the salting story for 10^12-turn hot
-    * conversations without hand-rolled salt columns.
+    * Implemented as TWO stacked partial-aggregable hash aggregations
+    * (span -> segment, segment -> conversation) instead of the previous
+    * segment-groupBy + join-back-to-spans + conv-groupBy (guide §2.4:
+    * remove shuffles outright): the join back shuffled every span row a
+    * second time (wide rows, SMJ sort on (conv_id, service)) only so the
+    * conv fold could re-read segment-level values that are min-of-struct
+    * aggregable directly. Correctness argument, per field:
+    *   - a segment's main span is the min (class_rank, turn_idx) among
+    *     its non-internal spans (trace.go:37-44) -> min(mainStruct);
+    *   - the conv's first flagged span minimizes (seg_first_idx,
+    *     class_rank, turn_idx) over flagged spans; turn_idx is unique
+    *     within a conversation, so the min distributes over segments:
+    *     min over segments of (seg_first_idx, min over that segment's
+    *     flagged spans of (class_rank, turn_idx, flag));
+    *   - the seg_has_main gate on span flags is segment-level, so it is
+    *     applied AFTER the segment aggregation (a segment without a main
+    *     span contributes no flag candidate);
+    *   - entity_key/env/site/namespace are functions of the service dim
+    *     join, constant within a (conv_id, service) segment -> min();
+    *   - the routed request/latency/ts come from the picked span's
+    *     SEGMENT (sampler.go:96-117), i.e. from that segment's seg_main.
+    * The map-side partial aggregation also makes hot conversations
+    * (10^8-turn loops) collapse per input partition before any shuffle —
+    * the skew story the old join-back needed AQE skew-split for.
     */
-  def withSegmentInfo(enriched: DataFrame): DataFrame = {
-    val withRank = enriched.withColumn(
-      "class_rank",
+  def convDims(enriched: DataFrame): DataFrame = {
+    val classRank =
       when(col("span_class") === "root", 0)
         .when(col("span_class") === "entry", 1)
         .when(col("span_class") === "exit", 2)
         .otherwise(3)
-    )
-    // main span = lexicographic min of (class_rank, turn_idx) among
-    // non-internal spans (trace.go:37-44 first-of root>entries>exits)
+    val withRank = enriched.withColumn("class_rank", classRank)
+    // main span candidate = lexicographic min of (class_rank, turn_idx)
+    // among non-internal spans (trace.go:37-44 first-of root>entries>exits)
     val mainStruct = when(
       col("class_rank") < 3,
       struct(
@@ -68,87 +90,65 @@ object Route {
         col("latency_secs"), col("request_context"), col("ts")
       )
     )
+    // per-span routing flag (error precedence, then slow) — the
+    // segment-has-main gate is applied post-aggregation below
+    val flagVal =
+      when(col("error_routable"), "error").when(col("is_slow_span"), "slow")
+    val flagStruct = when(
+      col("class_rank") < 3 && flagVal.isNotNull,
+      struct(col("class_rank"), col("turn_idx"), flagVal.as("flag"))
+    )
     val segments = withRank
       .groupBy("conv_id", "service")
       .agg(
         min("turn_idx").as("seg_first_idx"),
-        min(mainStruct).as("seg_main")
+        min(mainStruct).as("seg_main"),
+        min(flagStruct).as("seg_flag"),
+        min("ts").as("seg_ts_min"),
+        count(lit(1)).as("seg_n_turns"),
+        min("entity_key").as("entity_key"),
+        min("env").as("env"),
+        min("site").as("site"),
+        min("namespace").as("namespace")
       )
-      .select(
-        col("conv_id"), col("service"), col("seg_first_idx"),
-        col("seg_main").isNotNull.as("seg_has_main"),
-        col("seg_main").getField("latency_secs").as("seg_latency"),
-        col("seg_main").getField("request_context").as("seg_request"),
-        col("seg_main").getField("ts").as("seg_main_ts")
-      )
-    // NULL-SAFE on service: a null tool yields a null service, and that
-    // segment's spans must still meet their segment row (the reference
-    // keys segments by whatever service string the span carries,
-    // utils.go:69-77 — absence is a value, not a drop condition)
-    val seg = segments
-      .withColumnRenamed("conv_id", "sg_conv_id")
-      .withColumnRenamed("service", "sg_service")
-    withRank
-      .join(
-        seg,
-        col("conv_id") === col("sg_conv_id") && col("service") <=> col("sg_service")
-      )
-      .drop("sg_conv_id", "sg_service")
-  }
-
-  /** Per-span routing flag (error precedence, then slow), only for
-    * non-internal spans of segments that have a main span. */
-  def withSpanFlag(segmented: DataFrame): DataFrame =
-    segmented.withColumn(
-      "span_flag",
-      when(
-        col("seg_has_main") && col("class_rank") < 3,
-        when(col("error_routable"), "error")
-          .when(col("is_slow_span"), "slow")
+    // conv-level candidate structs: ordered by (seg_first_idx,
+    // class_rank, turn_idx) exactly like the old span-level routeStruct;
+    // turn_idx uniqueness within a conversation means the comparison
+    // never reads the payload fields, so their values ride along freely.
+    def routeStruct(rank: Column, turnIdx: Column, flag: Column) = struct(
+      col("seg_first_idx"), rank.as("class_rank"), turnIdx.as("turn_idx"),
+      flag.as("flag"),
+      col("entity_key"),
+      col("seg_main").getField("request_context").as("seg_request"),
+      col("seg_main").getField("latency_secs").as("seg_latency"),
+      col("seg_main").getField("ts").as("seg_main_ts"),
+      col("env"), col("site"), col("namespace"), col("service")
+    )
+    val segHasMain = col("seg_main").isNotNull
+    val flagCandidate = when(
+      segHasMain && col("seg_flag").isNotNull,
+      routeStruct(
+        col("seg_flag").getField("class_rank"),
+        col("seg_flag").getField("turn_idx"),
+        col("seg_flag").getField("flag")
       )
     )
-
-  /** Collapse to one row per conversation: the first flagged span decides
-    * (sample_type, routed entity/request/latency); otherwise the first
-    * segment with a main span is the normal-sampling candidate.
-    * A single hash aggregation (partial-aggregable min-of-struct).
-    */
-  def convFold(flagged: DataFrame): DataFrame = {
-    val spanOrder = Seq(col("seg_first_idx"), col("class_rank"), col("turn_idx"))
-    val routeStruct = struct(
-      spanOrder ++ Seq(
-        col("span_flag").as("flag"),
-        col("entity_key"),
-        col("seg_request"),
-        col("seg_latency"),
-        col("seg_main_ts"),
-        col("env"), col("site"), col("namespace"), col("service")
-      ): _*
+    val segCandidate = when(
+      segHasMain,
+      routeStruct(
+        col("seg_main").getField("class_rank"),
+        col("seg_main").getField("turn_idx"),
+        lit(null).cast("string")
+      )
     )
-    flagged
+    segments
       .groupBy("conv_id")
       .agg(
-        min(when(col("span_flag").isNotNull, routeStruct)).as("first_flag"),
-        min(when(col("seg_has_main") && col("class_rank") < 3, routeStruct)).as("first_seg"),
-        min("ts").as("conv_start_ts"),
-        count(lit(1)).as("n_turns")
+        min(flagCandidate).as("first_flag"),
+        min(segCandidate).as("first_seg"),
+        min("seg_ts_min").as("conv_start_ts"),
+        sum("seg_n_turns").as("n_turns")
       )
-  }
-
-  /** Full conversation-level routing: flags -> cardinality cap -> normal
-    * sampling -> top-K retention. Returns one row per conversation with
-    * `sample_type` (error/slow/normal/null), `sink`
-    * (errors/slow/normal/null) and the routed key columns.
-    */
-  /** Conversation-level fold ONLY — one row per conversation with its
-    * picked main-span dims, BEFORE the cap / sampling / top-K stages.
-    * Row-identical to [[convRouting]] output (every later stage only adds
-    * columns: the rank dim join matches all rows by construction and the
-    * windows are projections), so consumers that need conversation rows
-    * but no routing decision — the trace counter, q17's scrape — read
-    * this and skip the window stages entirely. */
-  def convDims(enriched: DataFrame): DataFrame =
-    convFold(withSpanFlag(withSegmentInfo(enriched)))
       .withColumn("picked", coalesce(col("first_flag"), col("first_seg")))
       .filter(col("picked").isNotNull) // conversations with no main span anywhere are skipped
       .select(
@@ -165,9 +165,35 @@ object Route {
         col("picked").getField("namespace").as("namespace"),
         col("picked").getField("service").as("service")
       )
+  }
 
-  def convRouting(enriched: DataFrame, cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
-    val conv = convDims(enriched)
+  /** Full conversation-level routing: flags -> cardinality cap -> normal
+    * sampling -> top-K retention. Returns one row per conversation with
+    * `sample_type` (error/slow/normal/null), `sink`
+    * (errors/slow/normal/null) and the routed key columns.
+    */
+  def convRouting(
+      enriched: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default,
+      eagerCache: Boolean = false
+  ): DataFrame = {
+    // cache the tiny conv-level fold (one row per conversation): it feeds
+    // the request-rank dim AND the join's left side — uncached, column
+    // pruning specializes the two branches into two full span-level
+    // aggregation DAGs with no reusable exchange (plan-audited: q04 ran
+    // the enrich+segment pipeline twice). Same multi-consumer pattern as
+    // Aggregates.fineRollup; registered in CacheBook so verify/bench/
+    // SqlSurface lifecycles release it. `eagerCache` forces the fill
+    // BEFORE the consumer stages are scheduled — without it, AQE
+    // materializes the rank-dim stage and the join's left stage
+    // concurrently and both compute the uncached partitions (the block
+    // manager deduplicates storage, not work). Query paths that execute
+    // the routing relation set it; plan-only registration (SqlSurface
+    // views) and consumers that prune the routing arms away (q17's
+    // constant-folded scrape) keep the lazy default so building the
+    // DataFrame stays free of actions.
+    val conv = graft.CacheBook.cached(convDims(enriched))
+    if (eagerCache) conv.count()
 
     // Request-cardinality cap: rank distinct request contexts per entity by
     // first-seen (min main_ts, then request for determinism); requests

@@ -161,11 +161,16 @@ object Similarity {
     val tables = planeTables(nTables, nPlanes, dims)
     val c = bucketed(corpus, "n_id", "nv", tables)
     val q = bucketed(queries, "q_id", "qv", tables)
+    // score BEFORE the candidate dedup (same argument as nearDupPairs:
+    // cosine is pair-determined, and dedup over narrow (q_id, n_id,
+    // cosine) rows is a hash aggregate instead of a SortAggregate
+    // carrying both vectors)
     val scored = c
       .join(broadcast(q), Seq("table_idx", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("cosine", cosineQ(col("qv"), col("nv")))
+      .select("q_id", "n_id", "cosine")
+      .dropDuplicates("q_id", "n_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id"))
@@ -331,11 +336,21 @@ object Similarity {
         ),
       "cosine_candidate_pairs" // bucket join rows, pre-dedup
     )
+    // score and threshold-filter BEFORE the pair dedup: cosine is a pure
+    // function of the two vectors, so every duplicate candidate row of a
+    // pair carries the same value and dedup-then-score equals
+    // score-then-dedup. Order matters for the plan (guide §2.3): the
+    // dedup previously ran as a SortAggregate over every candidate row
+    // still carrying BOTH quantized vectors (first() over array columns
+    // is not hash-aggregable — plan-audited), i.e. a full sort + shuffle
+    // of |candidates| x 2 x dims longs; scoring first drops the arrays
+    // and the threshold leaves only true near-dups, so the dedup is a
+    // hash aggregate over narrow (id_a, id_b, cosine) survivor rows.
     cand
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosineQ(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact all-pairs cosine near-dups — O(n^2), the recall oracle for
