@@ -36,6 +36,18 @@ object DocScaleBench {
     }
 
     t("exact_dedup") { Dedup.exact(docs).filter(col("is_duplicate")).count() }
+    // mega-duplicate-group skew case: plant ONE fingerprint group holding
+    // half the corpus (the 10^8x-duplicated boilerplate page of a real
+    // crawl). The groupBy+join-back form must stay flat — the former
+    // raw-row window over `fingerprint` funneled the whole group through
+    // a single task.
+    t("exact_dedup_megagroup") {
+      val planted = docs.withColumn(
+        "text",
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("same boilerplate page"))
+          .otherwise(col("text")))
+      Dedup.exact(planted).filter(col("is_duplicate")).count()
+    }
     t("minhash_pairs") { Dedup.minhashLshPairs(docs, w = 3, minEstimate = 0.5).count() }
     t("simhash_pairs") { Dedup.simhashPairs(docs, maxHamming = 6).count() }
     t("jaccard_pairs") { Dedup.ngramJaccardPairs(docs, w = 3, minJaccard = 0.5, maxDocFreq = 50).count() }

@@ -21,16 +21,28 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: group by normalized-text fingerprint; the lowest doc_id
-    * is the canonical survivor. */
+    * is the canonical survivor.
+    *
+    * Shape: a partial-aggregable groupBy over the fingerprint plus an
+    * equi-join back, NOT a raw-row window partitioned by fingerprint —
+    * a 100 TB crawl has pathological mega-duplicate groups (empty docs,
+    * boilerplate pages duplicated 10^8x) and a window puts every copy of
+    * one fingerprint on a single task with no map-side combine, while
+    * the aggregate collapses each input partition's copies before the
+    * shuffle and the join back is AQE-skew-splittable. The group dim
+    * (one row per DISTINCT fingerprint) broadcasts when small and
+    * shuffle-joins otherwise; either way no single-key hotspot remains.
+    */
   def exact(docs: DataFrame): DataFrame = {
     val fp = TextAnalysis.fingerprint(col("text"))
-    docs
-      .select(col("doc_id"), fp.as("fingerprint"))
-      .withColumn("canonical_doc_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
-      .withColumn("group_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+    val withFp = docs.select(col("doc_id"), fp.as("fingerprint"))
+    val groups = withFp
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("group_size"))
+    withFp
+      .join(groups, Seq("fingerprint"))
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
+      .select("doc_id", "fingerprint", "canonical_doc_id", "group_size", "is_duplicate")
   }
 
   /** Word w-shingles (w-grams joined by single spaces), distinct — the

@@ -25,19 +25,25 @@ object TextAnalysis {
     * exactly (no alternation-ambiguity, no lookahead, which RE2 lacks). */
   val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      col("n_chars"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      // BPE-ish subword estimate: ~1 token per 4 chars, word-boundary capped
-      greatest(size(toks), floor(length(col("text")) / lit(4)).cast("int")).as("n_tokens_bpe_est"),
-      // BPE-ish regex token count (the pre-tokenizer pass of a real BPE)
-      size(regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0))).as("n_tokens_re")
-    )
-  }
+  def tokenStats(docs: DataFrame): DataFrame =
+    // tokenize ONCE into a materialized column: higher-order functions are
+    // interpreted (no codegen subexpression elimination), so the inline
+    // form re-ran the whitespace split per consuming expression. The
+    // two-step projection survives CollapseProject because the alias is
+    // non-cheap and referenced more than once.
+    docs
+      .select(col("doc_id"), col("n_chars"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        // BPE-ish subword estimate: ~1 token per 4 chars, word-boundary capped
+        greatest(size(col("toks")), floor(length(col("text")) / lit(4)).cast("int"))
+          .as("n_tokens_bpe_est"),
+        // BPE-ish regex token count (the pre-tokenizer pass of a real BPE)
+        size(regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0))).as("n_tokens_re")
+      )
 
   /** Common-English stopwords used by the quality heuristics. */
   val stopwordsEn: Seq[String] =
@@ -48,23 +54,36 @@ object TextAnalysis {
     * style rules), deterministic arithmetic only.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nToks = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val nPunct = (nChars - length(regexp_replace(col("text"), "[.,;:!?'\"]", ""))).cast("double")
-    val nDigit = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
-    docs.select(
+    // tokenize and regex-strip ONCE each into materialized columns (the
+    // inline form re-evaluated the interpreted token split 4x and each
+    // regexp_replace 2x per row); arithmetic over the counts is identical
+    // expression-for-expression, so outputs are bit-equal. The stacked
+    // projections survive CollapseProject (non-cheap aliases, multi-use).
+    val counted = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks_i"),
+        size(filter(col("toks"), t => t.isin(stopwordsEn: _*))).cast("double").as("n_stop"),
+        length(col("text")).cast("double").as("n_chars_d"),
+        (length(col("text")).cast("double") -
+          length(regexp_replace(col("text"), "[.,;:!?'\"]", ""))).cast("double").as("n_punct"),
+        (length(col("text")).cast("double") -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double").as("n_digit"),
+        size(array_distinct(col("toks"))).as("n_distinct_i")
+      )
+    val nToks = col("n_toks_i").cast("double")
+    val distinctRatio = col("n_distinct_i").cast("double") / nToks
+    counted.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
-      (nStop / nToks).as("stopword_ratio"),
-      (nPunct / nChars).as("punct_ratio"),
-      (nDigit / nChars).as("digit_ratio"),
+      col("n_toks_i").as("n_tokens"),
+      (col("n_stop") / nToks).as("stopword_ratio"),
+      (col("n_punct") / col("n_chars_d")).as("punct_ratio"),
+      (col("n_digit") / col("n_chars_d")).as("digit_ratio"),
       distinctRatio.as("distinct_token_ratio"),
       // gates: enough tokens, some stopwords, not digit/punct soup, not repetitive
-      (size(toks) >= 10 && nStop / nToks > 0.01 &&
-        nPunct / nChars < 0.2 && nDigit / nChars < 0.2 &&
+      (col("n_toks_i") >= 10 && col("n_stop") / nToks > 0.01 &&
+        col("n_punct") / col("n_chars_d") < 0.2 && col("n_digit") / col("n_chars_d") < 0.2 &&
         distinctRatio > 0.1).as("passes_quality")
     )
   }
@@ -84,13 +103,17 @@ object TextAnalysis {
     * by language code; "und" (undetermined) when nothing matches.
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // one materialized token split shared by all four marker counters
+    // (same single-tokenize shape as tokenStats/qualityScore)
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*)))
+      lang -> size(filter(col("toks"), t => t.isin(words: _*)))
     }
-    val withScores = scored.foldLeft(docs.select(col("doc_id"), col("lang").as("lang_meta"), col("text"))) {
-      case (df, (lang, cnt)) => df.withColumn(s"score_$lang", cnt)
-    }
+    val withScores = docs
+      .select(col("doc_id"), col("lang").as("lang_meta"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: col("lang_meta") +:
+          scored.map { case (lang, cnt) => cnt.as(s"score_$lang") }: _*
+      )
     withScores
       .withColumn(
         "lang_pred",
@@ -256,14 +279,23 @@ object TextAnalysis {
     val leads = (1 until w).foldLeft(toks) { (df, o) =>
       df.withColumn(s"t$o", lead(col("tok"), o).over(win))
     }
-    leads
-      .filter(col(s"t${w - 1}").isNotNull)
-      .select(
-        col("doc_id"),
-        col("pos"),
-        md5(concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*))
-          .as("passage_hash")
-      )
+    // cached: every consumer (duplicatePassages, duplicateSpans and its
+    // removal form) feeds this relation into BOTH the duplicate-hash dim
+    // aggregation and the join back — uncached, only the posexplode
+    // exchange is reused and the w-lead window + per-window md5 run once
+    // PER consumer branch (plan-audited). Same multi-consumer pattern as
+    // the q25 shingle / q26 signature caches; rows are (doc_id, pos,
+    // 32-char hash), released via CacheBook.
+    graft.CacheBook.cached(
+      leads
+        .filter(col(s"t${w - 1}").isNotNull)
+        .select(
+          col("doc_id"),
+          col("pos"),
+          md5(concat_ws(" ", col("tok") +: (1 until w).map(o => col(s"t$o")): _*))
+            .as("passage_hash")
+        )
+    ).toDF()
   }
 
   /** Maximal duplicated-substring spans — the interval form of exact
