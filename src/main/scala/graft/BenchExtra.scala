@@ -57,7 +57,10 @@ object BenchExtra {
           if (mode == "pipeline-sf") Transcripts.fromEvents(spark, sfDir)
           else TranscriptGen.synthetic(spark, nConvs = 390000L, turnsPerConv = 5,
             hotConvs = 5, hotFactor = 10000)
-        val out = Pipeline.run(spark, turns, PipelineConfig.default)
+        // Pipeline.run itself performs the eager conv cache fill, so its
+        // construction is a recorded part — totals stay comparable with
+        // Bench's timed(forceAll(Pipeline.run(...)))
+        val out = record("run.construct")(Pipeline.run(spark, turns, PipelineConfig.default))
         record("enriched.count")(out.enriched.count())
         record("routing.count")(out.routing.count())
         record("routedTurns.count")(out.routedTurns.count())
@@ -68,6 +71,26 @@ object BenchExtra {
         record("redRollup.count")(out.redRollup.count())
         record("latencyHistogram.count")(out.latencyHistogram.count())
         record("unpersistAll")(out.unpersistAll())
+      case "both-clear" =>
+        val (sfT, sfSec) = timed(Bench.forceAll(
+          Pipeline.run(spark, Transcripts.fromEvents(spark, sfDir), PipelineConfig.default)))
+        results("pipeline_sf") = sfSec
+        CacheBook.release()
+        spark.catalog.clearCache()
+        System.gc()
+        val gen = TranscriptGen.synthetic(spark, nConvs = 390000L, turnsPerConv = 5,
+          hotConvs = 5, hotFactor = 10000)
+        val (genT, genSec) = timed(Bench.forceAll(Pipeline.run(spark, gen, PipelineConfig.default)))
+        results("pipeline_gen") = genSec
+        println(s"turns sf=$sfT gen=$genT")
+      case "gen2" =>
+        val gen = TranscriptGen.synthetic(spark, nConvs = 390000L, turnsPerConv = 5,
+          hotConvs = 5, hotFactor = 10000)
+        val (t1, s1) = timed(Bench.forceAll(Pipeline.run(spark, gen, PipelineConfig.default)))
+        results("pipeline_gen_1") = s1
+        val (t2, s2) = timed(Bench.forceAll(Pipeline.run(spark, gen, PipelineConfig.default)))
+        results("pipeline_gen_2") = s2
+        println(s"turns $t1 $t2")
       case "both" =>
         // mimic the bench tail: pipeline_sf then pipeline_gen in one JVM
         val (sfT, sfSec) = timed(Bench.forceAll(
@@ -91,6 +114,24 @@ object BenchExtra {
         val red = record("redRollup.direct.count")(
           graft.operators.Aggregates.redRollup(enriched).count())
         println(s"redRollup rows=$red")
+      case "sqlaudit" =>
+        // VERDICT r5 #5: do the unthresholded ranked views behind the SQL
+        // table functions still execute the TVF's rank filter as a
+        // WindowGroupLimit (bounded per-partition heaps), or does a SQL
+        // user's graft_ann_topk(3) rank the entire corpus per query?
+        SqlSurface.registerDocOps(spark, sfDir)
+        Seq(
+          "ann_topk" -> "SELECT * FROM graft_ann_topk(3)",
+          "tfidf_topk" -> "SELECT * FROM graft_tfidf_topk(3)",
+          "minhash_at" -> "SELECT * FROM graft_minhash_pairs_at(0.7)"
+        ).foreach { case (name, sql) =>
+          val df = spark.sql(sql)
+          df.collect()
+          val plan = df.queryExecution.executedPlan.toString
+          val wgl = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+          val win = plan.linesIterator.count(_.contains("Window ["))
+          println(s"[sqlaudit] $name WindowGroupLimit=$wgl Window=$win")
+        }
       case "noop" =>
         args.drop(1).foreach { q =>
           record(q)(noop(SparkEntry.queries(q)(spark, sfDir)))

@@ -52,7 +52,13 @@ object Bloom {
 
   /** Run the build aggregate over `col` of `df` and return the serialized
     * filter, or None when the relation is empty (the aggregate yields
-    * NULL). One distributed job; the result is a few KB. */
+    * NULL). One distributed job; the result is numBits/8 bytes plus
+    * framing (~1 MB at the default 8M bits). [[probe]] embeds those bytes
+    * as a literal inside the scan filter, so the filter rides in every
+    * serialized task of the big-side scan — acceptable at the default
+    * sizing; for much larger filters switch the probe to a broadcast
+    * variable + UDF (trading codegen for one-copy-per-executor) before
+    * raising numBits. */
   def buildBytes(
       df: org.apache.spark.sql.DataFrame,
       c: Column,

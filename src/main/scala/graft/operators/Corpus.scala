@@ -82,7 +82,7 @@ object Corpus {
     // (tiny rows: source + 64-bit fp; released via CacheBook)
     val srcFps = graft.CacheBook.cached(
       fps
-        .join(hot, Seq("fp"), "left_anti")
+        .join(broadcast(hot), Seq("fp"), "left_anti")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select("source", "fp")
         .distinct()

@@ -355,9 +355,13 @@ object TextAnalysis {
     * [[duplicateSpans]] interval cut out (tokens re-joined by single
     * spaces) — the ExactSubstr dedup's actual output artifact. Documents
     * with no duplicated spans pass through with whitespace-normalized
-    * text (the same canonical form the fingerprint uses), so the
-    * operator is idempotent: re-running it on its own output removes
-    * nothing new.
+    * text (the same canonical form the fingerprint uses). Re-running the
+    * operator on its own output removes nothing new PROVIDED the stitched
+    * junctions (tokens made adjacent by a cut) introduce no new
+    * cross-document w-grams; cutting can in principle create such grams,
+    * so a second pass may remove more on adversarial corpora — iterate to
+    * fixpoint when that matters (the fixture test covers the common case
+    * where junctions stay unique).
     *
     * Scale shape: the span relation joins back to the token explode on
     * doc_id (per-doc bounded, the same partitioning every window here

@@ -350,14 +350,22 @@ object StreamingPipeline {
       rows: Iterator[DedupCandidate],
       state: GroupState[DedupSeen]
   ): Iterator[DedupDecision] = {
-    var canonical = state.getOption.map(_.canonical_doc_id).getOrElse(Long.MinValue)
+    // presence tracked with Option, not a sentinel value — a legitimate
+    // doc_id equal to Long.MinValue must not read as "no canonical yet".
+    // Note the per-group materialization: rows.toSeq.sortBy holds one
+    // fingerprint group in executor memory — bounded by the largest
+    // duplicate group within a micro-batch (cross-batch copies ride
+    // state, not the buffer).
+    var canonical: Option[Long] = state.getOption.map(_.canonical_doc_id)
     val hasState = state.exists
     val out = rows.toSeq.sortBy(_.doc_id).map { c =>
-      val first = canonical == Long.MinValue
-      if (first) canonical = c.doc_id
-      DedupDecision(c.doc_id, fingerprint, canonical, !first)
+      val first = canonical.isEmpty
+      if (first) canonical = Some(c.doc_id)
+      DedupDecision(c.doc_id, fingerprint, canonical.get, !first)
     }
-    if (!hasState || out.nonEmpty) state.update(DedupSeen(canonical))
+    canonical.foreach { canon =>
+      if (!hasState || out.nonEmpty) state.update(DedupSeen(canon))
+    }
     out.iterator
   }
 
