@@ -130,8 +130,18 @@ object Aggregates {
       .filter(col("span_class") =!= "internal")
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
       .withColumn("le", leExpr)
-      .groupBy("service_key", "win_start_us", "env", "site", "namespace", "service", "request_context", "le")
+      // group ONLY by the keys that determine the group (env, site,
+      // namespace and service are functions of the service dim join,
+      // constant within a service_key) and carry the label columns as
+      // min() aggregates: the per-row aggregation hash/compare then
+      // touches 4 key columns instead of 8 (one string fewer than half),
+      // with identical groups and identical outputs
+      .groupBy("service_key", "win_start_us", "request_context", "le")
       .agg(
+        min(col("env")).as("env"),
+        min(col("site")).as("site"),
+        min(col("namespace")).as("namespace"),
+        min(col("service")).as("service"),
         count(lit(1)).as("n_spans"),
         sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"),
         sum(col("dur_ms")).as("dur_ms_sum"),

@@ -400,20 +400,29 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val neighborMin = sym
+      // one round = ONE aggregation over (self-rows ∪ edge-rows):
+      // label'(x) = min(label(x), min over neighbors y of label(y)), with
+      // the old label recovered from the unique self row inside the same
+      // groupBy — two shuffles per round (edge join + the groupBy)
+      // instead of the previous three (join, groupBy, join-back), and no
+      // left join at all. Algebraically identical to
+      // least(label, coalesce(min neighbor label, label)).
+      val selfRows = labels.select(
+        col("doc_id"), col("label").as("lbl"), lit(true).as("is_self"))
+      val edgeRows = sym
         .join(
           labels.select(col("doc_id").as("dst"), col("label").as("nlabel")),
           Seq("dst")
         )
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("nlabel").as("nmin"))
-      val updatedBase = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")
+        .select(col("src").as("doc_id"), col("nlabel").as("lbl"), lit(false).as("is_self"))
+      val updatedBase = selfRows
+        .unionByName(edgeRows)
+        .groupBy("doc_id")
+        .agg(
+          min(when(col("is_self"), col("lbl"))).as("old_label"),
+          min("lbl").as("label")
         )
+        .select(col("doc_id"), col("old_label"), col("label"))
       // truncate lineage periodically: a cache eviction late in the loop
       // must not replay every prior round
       val updated =
