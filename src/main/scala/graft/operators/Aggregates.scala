@@ -219,8 +219,11 @@ object Aggregates {
       .filter(col("span_class") =!= "internal")
       .withColumn("ttl_win", expr(s"unix_micros(cast(ts as timestamp)) div $ttlMicros"))
       .withColumn("win_start_us", expr(s"unix_micros(cast(ts as timestamp)) div $winMicros") * winMicros)
-      .groupBy("service_key", "ttl_win", "win_start_us", "service", "request_context")
+      // same narrow-key shape as fineRollupRaw: service is a function of
+      // service_key, so it rides as a min() aggregate, not a group key
+      .groupBy("service_key", "ttl_win", "win_start_us", "request_context")
       .agg(
+        min(col("service")).as("service"),
         count(lit(1)).as("n_spans"),
         sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"),
         sum(col("dur_ms")).as("dur_ms_sum"),
