@@ -301,10 +301,19 @@ object Dedup {
           .bitwiseAND(lit(Long.MaxValue)).as("hh")
       )
     val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min("hh").over(win))
-      .select("doc_id", "fp")
-      .distinct()
+    // cached: the fingerprint relation is the shared input of the
+    // decontamination pair/bloom operators, the source-overlap matrix and
+    // the raw fingerprint query — each previously re-derived the
+    // char-gram explode + md5 + sliding-min window (the distinct's
+    // exchange is only reused WITHIN one query). Rows are (doc_id, fp
+    // long) — tiny; released via CacheBook like the shingle/signature
+    // caches.
+    graft.CacheBook.cached(
+      grams
+        .withColumn("fp", min("hh").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    ).toDF()
   }
 
   /** Content-defined chunking (CDC): split each document into chunks at
