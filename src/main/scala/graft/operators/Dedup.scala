@@ -35,6 +35,12 @@ object Dedup {
     */
   def exact(docs: DataFrame): DataFrame = {
     val fp = TextAnalysis.fingerprint(col("text"))
+    // NOT cached: the group-dim branch and the join's left side each scan
+    // the pruned (doc_id, text) columns and hash once — measured CHEAPER
+    // than cache machinery at bench scale (md5 of a corpus partition is
+    // scan-bound), and at 100 TB the real answer is the persisted
+    // fingerprint table every dedup pipeline keeps (the precomputedFps
+    // pattern decontaminationPairs exposes).
     val withFp = docs.select(col("doc_id"), fp.as("fingerprint"))
     val groups = withFp
       .groupBy("fingerprint")
